@@ -1,0 +1,170 @@
+package graft.operators
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardOpenOption}
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** Routing / sink fan-out (SURVEY.md §2 R1-R4): a deterministic rule table
+  * evaluated as one `when` chain producing a `sink` label column, then a
+  * single partitioned write — one pass over the data for all sinks instead
+  * of one job per handler.
+  *
+  * Skew handling per the north rule: salted repartition on conv_id (hot
+  * conversations would otherwise pin single tasks), followed by
+  * sortWithinPartitions(conv_id, turn_idx) so the per-turn text-equality
+  * invariant holds under a stable order inside every file written.
+  */
+object Route {
+
+  /** F1 "relevant" predicate (main.go:768-779). Null UA (Apache common
+    * format, where the reference would nil-panic) is defined as not relevant.
+    */
+  val isRelevant: Column =
+    col("malicious") === 0 &&
+      (col("status").startsWith("2") || col("status").startsWith("5")) &&
+      col("ua_device_type").isNotNull &&
+      col("ua_device_type") =!= "Script" &&
+      !col("ua_family").isin("Scanner", "SEOBot", "Script")
+
+  /** The deterministic rule table, priority order. First match wins. */
+  val rules: Seq[(String, Column)] = Seq(
+    "quarantine" -> (col("malicious") =!= 0),
+    "relevant" -> isRelevant,
+    "bot_traffic" -> (col("role") === "tool" || col("ua_device_type") === "Script" ||
+      col("ua_human") === "NonHuman"),
+    "archive" -> lit(true))
+
+  val sinkCol: Column = {
+    val chain = rules.init.foldLeft[Option[Column]](None) { case (acc, (sink, pred)) =>
+      Some(acc.fold(when(pred, lit(sink)))(_.when(pred, lit(sink))))
+    }.get
+    chain.otherwise(lit(rules.last._1)).as("sink")
+  }
+
+  def withSink(parsed: DataFrame): DataFrame = parsed.withColumn("sink", sinkCol)
+
+  /** Salted exchange + in-partition stable order (north rule). The salt only
+    * spreads rows of one conversation across SALT tasks; aggregates are
+    * salt-insensitive because keys re-merge in their own final aggregation.
+    */
+  def salted(parsed: DataFrame, partitions: Int, salt: Int = 16): DataFrame =
+    parsed
+      .withColumn("_salt", pmod(hash(col("turn_idx")), lit(salt)))
+      .repartition(partitions, col("conv_id"), col("_salt"))
+      .sortWithinPartitions(col("conv_id"), col("turn_idx"))
+      .drop("_salt")
+
+  /** Go field-name projection for the WRITE_TO_FILE JSON sink (R2,
+    * handlers/writetofile.go:50-90): field names and timestamp rendering
+    * match Go's json.Marshal of SBOHttpRequestLog.
+    */
+  def goJsonProjection(parsed: DataFrame): DataFrame = {
+    val local = expr("timestampadd(SECOND, tz_offset_sec, log_ts)")
+    val off = col("tz_offset_sec")
+    val tzSuffix = when(off === 0, lit("Z")).otherwise(
+      concat(
+        when(off < 0, lit("-")).otherwise(lit("+")),
+        lpad((abs(off) / 3600).cast("int").cast("string"), 2, "0"),
+        lit(":"),
+        lpad(((abs(off) % 3600) / 60).cast("int").cast("string"), 2, "0")))
+    val rfc3339 = when(col("log_ts").isNull, lit("0001-01-01T00:00:00Z"))
+      .otherwise(concat(date_format(local, "yyyy-MM-dd'T'HH:mm:ss"), tzSuffix))
+    parsed.select(
+      col("domain").as("Domain"),
+      col("client_ip").as("ClientIP"),
+      col("remote_logname").as("RemoteLogname"),
+      col("remote_user").as("RemoteUser"),
+      rfc3339.as("Timestamp"),
+      col("method").as("Method"),
+      col("path").as("Path"),
+      col("path1").as("Path1"),
+      col("path2").as("Path2"),
+      col("path3").as("Path3"),
+      col("protocol").as("Protocol"),
+      col("status").as("Status"),
+      col("bytes_sent").cast("int").as("BytesSent"),
+      col("referer").as("Referer"),
+      when(col("ua_full").isNotNull, struct(
+        col("ua_full").as("FullName"),
+        col("ua_os").as("OS"),
+        col("ua_family").as("Family"),
+        col("ua_device_type").as("DeviceType"),
+        col("ua_human").as("Human"),
+        col("ua_intent").as("Intent"))).as("UserAgent"),
+      col("malicious").as("Malicious"),
+      lit(false).as("IsOutOfOrder"))
+  }
+
+  /** R4 raw-log projection: IP masking + per-column truncation
+    * (db/mysqldb.go:161-238). Masked UA keeps the LAST 100 chars
+    * (mysqldb.go:208/:232-238); other columns keep the first N.
+    */
+  def rawLogProjection(parsed: DataFrame, maskIps: Boolean): DataFrame = {
+    val ip = if (maskIps) lit(null).cast("string") else col("client_ip")
+    val uaTrunc = if (maskIps)
+      when(length(col("ua_full")) > 100, substring(col("ua_full"), -100, 100)).otherwise(col("ua_full"))
+    else substring(col("ua_full"), 0, 100)
+    parsed.select(
+      col("conv_id"), col("turn_idx"),
+      col("log_ts").as("request_ts"),
+      ip.as("client_ip"),
+      substring(col("remote_user"), 0, 100).as("remote_user"),
+      substring(col("method"), 0, 10).as("http_method"),
+      coalesce(nullif(col("path3"), lit("")), nullif(col("path2"), lit("")), nullif(col("path1"), lit("")), col("path")).as("path3"),
+      substring(col("path"), 0, 500).as("request_uri"),
+      col("status").as("http_status"),
+      col("bytes_sent"),
+      substring(col("referer"), 0, 100).as("referer"),
+      col("malicious").as("is_malicious"),
+      uaTrunc.as("ua_string"),
+      col("ua_os"), col("ua_family"), col("ua_device_type"), col("ua_human"), col("ua_intent"))
+  }
+
+  /** Multi-sink fan-out with per-partition lineage manifest + resume.
+    * One salted pass, one write partitioned by sink; a manifest recording
+    * (sink → rows, checksum) plus the input fingerprint. If the manifest
+    * already matches the input fingerprint the write is skipped — the
+    * checkpoint-resume contract (north rule).
+    *
+    * Returns the manifest JSON string.
+    */
+  def fanOutWithLineage(routed: DataFrame, outDir: String, partitions: Int): String = {
+    val manifestPath = Paths.get(outDir, "_lineage", "manifest.json")
+    // input fingerprint: count + checksum over stable keys
+    val fp = routed
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("checksum"))
+      .collect()(0)
+    val fpJson = s"""{"rows":${fp.getLong(0)},"checksum":${fp.getLong(1)}}"""
+
+    if (Files.exists(manifestPath)) {
+      val existing = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      if (existing.contains(s""""input":$fpJson""")) return existing // resume: already done
+    }
+
+    salted(routed, partitions)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("sink")
+      .parquet(outDir + "/data")
+
+    val perSink = routed
+      .groupBy(col("sink"))
+      .agg(
+        count(lit(1)).as("rows"),
+        sum(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("checksum"),
+        min(col("turn_idx")).as("min_turn"),
+        max(col("turn_idx")).as("max_turn"))
+      .collect()
+      .map(r => s"""{"sink":"${r.getString(0)}","rows":${r.getLong(1)},"checksum":${r.getLong(2)},"min_turn":${r.getInt(3)},"max_turn":${r.getInt(4)}}""")
+      .sorted
+      .mkString("[", ",", "]")
+    val manifest = s"""{"input":$fpJson,"partitions":$perSink}"""
+    Files.createDirectories(manifestPath.getParent)
+    Files.write(manifestPath, manifest.getBytes(StandardCharsets.UTF_8),
+      StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+    manifest
+  }
+}

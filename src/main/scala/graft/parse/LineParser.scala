@@ -1,0 +1,178 @@
+package graft.parse
+
+import java.time.OffsetDateTime
+import java.time.format.{DateTimeFormatter, ResolverStyle}
+import java.util.Locale
+import java.util.regex.{Matcher, Pattern}
+
+import graft.model.{Malicious, ParsedFields, UaInfo}
+
+/** The "grok" stage: the five log-format parsers plus the derived fields
+  * (path split, referer normalization, malicious classification, UA
+  * classification, robots override). Semantics mirror the reference
+  * (logparsers/httpservers.go) exactly; pinned by LineParserSpec.
+  *
+  * Format auto-detection follows the reference quirk (main.go:743-749): the
+  * detection loop does not break, so the LAST matching format wins — which is
+  * equivalent to first-match over the reversed format list, the form used
+  * here so each row tries at most 5 regexes and stops early.
+  */
+object LineParser {
+
+  sealed abstract class Format(val name: String)
+  case object ApacheCommon extends Format("apache_common")
+  case object ApacheCombined extends Format("apache_combined")
+  case object ApacheVHostCombined extends Format("apache_vhost_combined")
+  case object NginxCombined extends Format("nginx_combined")
+  case object NginxCustom extends Format("nginx_custom")
+
+  /** reference declaration order — main.go:735-739 */
+  val formatsInOrder: Seq[Format] =
+    Seq(ApacheCommon, ApacheCombined, ApacheVHostCombined, NginxCombined, NginxCustom)
+
+  // regexes — httpservers.go:170, :197, :229, :260, :289
+  private val reCommon = Pattern.compile(
+    "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+) (\\S+)\" (\\d+) (\\d+)$")
+  private val reCombined = Pattern.compile(
+    "^(\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+) (\\S+)\" (\\d+) (\\d+) \"([^\"]*)\" \"([^\"]*)\"$")
+  private val reVHost = Pattern.compile(
+    "^(\\S+) (\\S+) (\\S+) (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+) (\\S+)\" (\\d+) (\\d+) \"([^\"]*)\" \"([^\"]*)\"$")
+  private val reNginx = Pattern.compile(
+    "^(\\S+) - (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+) (\\S+)\" (\\d+) (\\d+) \"([^\"]*)\" \"([^\"]*)\"$")
+  private val reNginxCustom = Pattern.compile(
+    "^(\\S+) - (\\S+) \\[([^\\]]+)\\] \"(\\S+) (\\S+) (\\S+)\" (\\d+) (\\d+) \"([^\"]*)\" \"([^\"]*)\" (\\S+) (\\S+)$")
+
+  private val reUtmSource = Pattern.compile("(\\?|&)utm_source=([^&]+)(&|\\z)")
+  private val reXss = Pattern.compile("<script|script>|alert|onmouseover|onmouseout")
+  private val reSqlInj = Pattern.compile("'.*(insert|update|exec|execute)")
+
+  // Go layout "02/Jan/2006:15:04:05 -0700" — httpservers.go:322/:332
+  private val tsFormat = DateTimeFormatter
+    .ofPattern("dd/MMM/uuuu:HH:mm:ss Z", Locale.ENGLISH)
+    .withResolverStyle(ResolverStyle.STRICT)
+
+  def parseTimestamp(s: String): Option[OffsetDateTime] =
+    try Some(OffsetDateTime.parse(s, tsFormat))
+    catch { case _: Exception => None }
+
+  private def atoi(s: String): Long =
+    try s.toLong
+    catch { case _: Exception => 0L } // strconv.Atoi error → 0 (httpservers.go:176)
+
+  /** Path split + malicious classification — httpservers.go:95-165. */
+  private[parse] def pathFields(requestUri: String): (String, String, String, String, Int) = {
+    GoUrl.parseRequestUri(requestUri) match {
+      case None =>
+        // invalid URI: Path = raw cut at '?', no split, Malicious=INVALID (httpservers.go:99-102)
+        val cut = requestUri.indexOf('?')
+        val path = if (cut >= 0) requestUri.substring(0, cut) else requestUri
+        (path, "", "", "", Malicious.Invalid)
+      case Some((path, rawQuery)) =>
+        var p1 = ""; var p2 = ""; var p3 = ""
+        if (path.nonEmpty) {
+          val split = path.split("/", -1) // Go strings.Split keeps trailing empties
+          if (split.length == 1) p1 = "/"
+          if (split.length > 1) p1 = "/" + split(1)
+          if (split.length > 2) p2 = p1 + "/" + split(2)
+          if (split.length > 3) p3 = p2 + "/" + split(3)
+        }
+        val mal =
+          if (path.contains("/../") || requestUri.contains("%00")) Malicious.Traversal
+          else if (reXss.matcher(rawQuery).find()) Malicious.Xss
+          else if (reSqlInj.matcher(rawQuery).find()) Malicious.SqlInj
+          else Malicious.Unknown
+        (path, p1, p2, p3, mal)
+    }
+  }
+
+  /** Referer normalization — httpservers.go:79-93: a utm_source query param
+    * on the REQUEST URI overrides the referer header; otherwise the referer's
+    * hostname with a leading "www." stripped.
+    */
+  private[parse] def normalizeReferer(referer: String, requestUri: String): String = {
+    val m = reUtmSource.matcher(requestUri)
+    if (m.find()) m.group(2)
+    else if (referer.nonEmpty) {
+      val host = GoUrl.refererHostname(referer)
+      if (host.startsWith("www.")) host.substring(4) else host
+    } else ""
+  }
+
+  private def build(
+      fmt: Format,
+      domain: String, clientIp: String, logname: String, user: String,
+      tsStr: String, method: String, uri: String, protocol: String,
+      status: String, bytes: String, refererRaw: Option[String], uaRaw: Option[String]): ParsedFields = {
+    val odt = parseTimestamp(tsStr)
+    val (path, p1, p2, p3, mal) = pathFields(uri)
+    val referer = refererRaw.map(r => normalizeReferer(r, uri)).getOrElse("")
+    val ua = uaRaw.map { u =>
+      val base = UserAgents.classify(u)
+      if (p1 == "/robots.txt") UserAgents.robotsOverride(base) else base
+    }
+    ParsedFields(
+      domain = domain, client_ip = clientIp, remote_logname = logname, remote_user = user,
+      log_ts = odt.map(o => java.sql.Timestamp.from(o.toInstant)),
+      tz_offset_sec = odt.map(_.getOffset.getTotalSeconds).getOrElse(0),
+      method = method, path = path, path1 = p1, path2 = p2, path3 = p3,
+      protocol = protocol, status = status, bytes_sent = atoi(bytes),
+      referer = referer, ua = ua, malicious = mal, format = fmt.name)
+  }
+
+  def parse(line: String, fmt: Format): Option[ParsedFields] = {
+    def m(p: Pattern): Option[Matcher] = {
+      val mm = p.matcher(line)
+      if (mm.matches()) Some(mm) else None
+    }
+    fmt match {
+      case ApacheCommon => m(reCommon).map { g =>
+        build(fmt, "", g.group(1), g.group(2), g.group(3), g.group(4),
+          g.group(5), g.group(6), g.group(7), g.group(8), g.group(9), None, None)
+      }
+      case ApacheCombined => m(reCombined).map { g =>
+        build(fmt, "", g.group(1), g.group(2), g.group(3), g.group(4),
+          g.group(5), g.group(6), g.group(7), g.group(8), g.group(9),
+          Some(g.group(10)), Some(g.group(11)))
+      }
+      case ApacheVHostCombined => m(reVHost).map { g =>
+        build(fmt, g.group(1), g.group(2), g.group(3), g.group(4), g.group(5),
+          g.group(6), g.group(7), g.group(8), g.group(9), g.group(10),
+          Some(g.group(11)), Some(g.group(12)))
+      }
+      case NginxCombined => m(reNginx).map { g =>
+        build(fmt, "", g.group(1), "", g.group(2), g.group(3),
+          g.group(4), g.group(5), g.group(6), g.group(7), g.group(8),
+          Some(g.group(9)), Some(g.group(10)))
+      }
+      case NginxCustom => m(reNginxCustom).map { g =>
+        // request_time/upstream_time (groups 11-12) captured then discarded
+        // by the reference (httpservers.go:311-316)
+        build(fmt, "", g.group(1), "", g.group(2), g.group(3),
+          g.group(4), g.group(5), g.group(6), g.group(7), g.group(8),
+          Some(g.group(9)), Some(g.group(10)))
+      }
+    }
+  }
+
+  /** Reference detection = last match over formatsInOrder (main.go:743-749)
+    * = first match over the reversed list.
+    */
+  def detect(line: String): Option[Format] =
+    formatsInOrder.reverseIterator.find(f => parse(line, f).isDefined)
+
+  /** Per-row auto-detecting parse. On data where every line of a source uses
+    * one format (our generator guarantees this) it is equivalent to the
+    * reference's per-file sticky-parser memoization, minus the quirk that the
+    * detection line itself is not emitted (main.go:744 shadowing) — that
+    * quirk lives only in the oracle's quirk mode (RefOracle.stickyQuirk).
+    */
+  def parseAuto(line: String): Option[ParsedFields] = {
+    if (line.isEmpty) return None
+    val it = formatsInOrder.reverseIterator
+    while (it.hasNext) {
+      val r = parse(line, it.next())
+      if (r.isDefined) return r
+    }
+    None
+  }
+}

@@ -1,0 +1,56 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+import graft.model.TranscriptTurn
+
+/** Thin table-I/O facade (SURVEY.md §1.5): the north rule names Iceberg, but
+  * no Iceberg runtime jar ships in this sandbox (verified: /opt/spark/jars
+  * has none), so tables are partitioned Parquet with the same layout
+  * semantics behind this one seam — an Iceberg catalog drops in later by
+  * reimplementing these four methods.
+  */
+object Tables {
+
+  val dataRoot = "/root/repo/data"
+
+  def sfName(sfDir: String): String = {
+    val base = Paths.get(sfDir).getFileName.toString
+    if (base.nonEmpty) base else "sf0.01"
+  }
+
+  def read(spark: SparkSession, sfDir: String, table: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$table.parquet")
+
+  def transcriptsPath(sfDir: String): String = s"$dataRoot/transcripts/${sfName(sfDir)}"
+
+  /** Deterministic synth-on-first-use of the transcripts table for a scale
+    * dir. Pure function of the sf name — safe to regenerate anywhere.
+    */
+  def transcripts(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    val path = transcriptsPath(sfDir)
+    if (!Files.exists(Paths.get(path, "_SUCCESS"))) synthesize(spark, sfDir, path)
+    spark.read.parquet(path)
+  }
+
+  private def synthesize(spark: SparkSession, sfDir: String, path: String): Unit = {
+    import spark.implicits._
+    val n = TranscriptGen.turnsFor(sfName(sfDir))
+    val lay = TranscriptGen.layout(n)
+    val parts = math.max(8, (n / 100000L).toInt)
+    spark.range(0, n, 1, parts)
+      .as[Long]
+      .map(i => TranscriptGen.turn(i, lay))
+      .write.mode(SaveMode.Overwrite)
+      .parquet(path)
+  }
+
+  /** In-memory variant for tests/oracle comparison (small n only). */
+  def localTurns(n: Long): Seq[TranscriptTurn] = {
+    val lay = TranscriptGen.layout(n)
+    (0L until n).map(i => TranscriptGen.turn(i, lay))
+  }
+}
