@@ -3,23 +3,25 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
-import graft.model.ParsedFields
+import graft.model.{ParsedTurn, TranscriptTurn}
 import graft.parse.LineParser
 
-/** The parse stage: one single-pass, struct-returning UDF (SURVEY.md §2
-  * P1-P12). A UDF instead of per-column `regexp_extract` because the built-in
-  * would re-run the regex for every projected field (SURVEY.md §4); the UDF
-  * runs the winning regex once and derives all ~20 fields in one pass.
+/** The parse stage: one single-pass struct parse per row (SURVEY.md §2
+  * P1-P12), as a typed mapPartitions over Dataset[TranscriptTurn].
   *
-  * The UDF is marked non-deterministic ON PURPOSE: it is deterministic in
-  * fact, but the flag stops Catalyst from (a) collapsing the struct
-  * projection into 20 per-field copies of the UDF and (b) pushing later
-  * filters below the parse, both of which would re-evaluate it per field.
+  * Why not per-column `regexp_extract`: the built-in re-runs the regex for
+  * every projected field (SURVEY.md §4). Why not a struct-returning Catalyst
+  * UDF: measured both ways —
+  *  - deterministic UDF: CollapseProject / predicate pushdown can inline the
+  *    alias and re-evaluate the UDF per reference;
+  *  - `asNondeterministic()` UDF: single evaluation, but any stage fused with
+  *    a Nondeterministic expression loses whole-stage codegen, which made the
+  *    downstream explode+aggregate pipeline ~12x slower (4s → 46s at sf0.1).
+  * The object-level mapPartitions guarantees exactly-once per-row parsing,
+  * keeps every operator above the serialization boundary codegen'd, and the
+  * encoder's serializer is itself code-generated.
   */
 object ParseStage {
-
-  private val parseUdf =
-    udf((text: String) => LineParser.parseAuto(text)).asNondeterministic()
 
   val provenanceCols: Seq[String] = Seq("conv_id", "turn_idx", "role", "tool", "ts", "text")
 
@@ -28,34 +30,14 @@ object ParseStage {
     * emits nothing, main.go:753-756 / :789).
     */
   def parse(transcripts: DataFrame, keepText: Boolean = true): DataFrame = {
-    val withP = transcripts
-      .select((provenanceCols.map(col) :+ parseUdf(col("text")).as("p")): _*)
-      .filter(col("p").isNotNull)
-    val flat = withP.select(
-      col("conv_id"), col("turn_idx"), col("role"), col("tool"), col("ts"), col("text"),
-      col("p.domain").as("domain"),
-      col("p.client_ip").as("client_ip"),
-      col("p.remote_logname").as("remote_logname"),
-      col("p.remote_user").as("remote_user"),
-      col("p.log_ts").as("log_ts"),
-      col("p.tz_offset_sec").as("tz_offset_sec"),
-      col("p.method").as("method"),
-      col("p.path").as("path"),
-      col("p.path1").as("path1"),
-      col("p.path2").as("path2"),
-      col("p.path3").as("path3"),
-      col("p.protocol").as("protocol"),
-      col("p.status").as("status"),
-      col("p.bytes_sent").as("bytes_sent"),
-      col("p.referer").as("referer"),
-      col("p.ua.ua_full").as("ua_full"),
-      col("p.ua.ua_os").as("ua_os"),
-      col("p.ua.ua_family").as("ua_family"),
-      col("p.ua.ua_device_type").as("ua_device_type"),
-      col("p.ua.ua_human").as("ua_human"),
-      col("p.ua.ua_intent").as("ua_intent"),
-      col("p.malicious").as("malicious"),
-      col("p.format").as("format"))
+    val spark = transcripts.sparkSession
+    import spark.implicits._
+    val flat = transcripts
+      .select(provenanceCols.head, provenanceCols.tail: _*)
+      .select(col("conv_id"), col("turn_idx"), col("role"), col("text"), col("tool"), col("ts"))
+      .as[TranscriptTurn]
+      .mapPartitions(_.flatMap(t => LineParser.parseAuto(t.text).map(p => ParsedTurn(t, p))))
+      .toDF()
     if (keepText) flat else flat.drop("text")
   }
 

@@ -136,7 +136,7 @@ object Route {
     val fp = routed
       .agg(
         count(lit(1)).as("rows"),
-        sum(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("checksum"))
+        expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("checksum"))
       .collect()(0)
     val fpJson = s"""{"rows":${fp.getLong(0)},"checksum":${fp.getLong(1)}}"""
 
@@ -154,7 +154,7 @@ object Route {
       .groupBy(col("sink"))
       .agg(
         count(lit(1)).as("rows"),
-        sum(xxhash64(col("conv_id"), col("turn_idx"), col("text"))).as("checksum"),
+        expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("checksum"),
         min(col("turn_idx")).as("min_turn"),
         max(col("turn_idx")).as("max_turn"))
       .collect()

@@ -1,0 +1,119 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for the training-data pipeline: language ID, quality
+  * scoring, token counting, document fingerprinting. The first three are
+  * pure `functions._` column expressions (whole-stage codegen, no UDF);
+  * fingerprinting is a single-pass UDF.
+  */
+object TextAnalysis {
+
+  /** tiny per-language stopword lists for the n-gram/stopword heuristic */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "von"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "en", "por", "para"))
+
+  private def tokensCol(text: Column): Column =
+    filter(split(lower(text), "[^a-z]+"), t => length(t) > 0)
+
+  private def stopwordCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words.map(lit(_)): _*)))
+
+  /** Language ID: argmax of per-language stopword hit counts; ties and
+    * zero-evidence fall back to "und" (undetermined) / first language in
+    * declaration order — fully deterministic, SQL-replicable.
+    */
+  def langIdCol(text: Column): Column = {
+    val toks = tokensCol(text)
+    val scored = stopwords.map { case (lang, words) => (lang, stopwordCount(toks, words)) }
+    // pick max score, ties by declaration order; 0 → "und"
+    val best = scored.tail.foldLeft((scored.head._2, lit(scored.head._1))) {
+      case ((bestScore, bestLang), (lang, score)) =>
+        (when(score > bestScore, score).otherwise(bestScore),
+          when(score > bestScore, lit(lang)).otherwise(bestLang))
+    }
+    when(best._1 > 0, best._2).otherwise(lit("und"))
+  }
+
+  def langId(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), langIdCol(col("text")).as("pred_lang"))
+
+  /** Quality features + composite score: length, token count, mean token
+    * length, punctuation ratio, uppercase ratio, stopword ratio (any
+    * language), all rounded to 4 decimals for cross-engine float parity.
+    */
+  def quality(docs: DataFrame): DataFrame = {
+    val text = col("text")
+    val toks = tokensCol(text)
+    val nChars = length(text).cast("double")
+    val nToks = size(toks).cast("double")
+    val punct = (length(text) - length(regexp_replace(text, "[.,;:!?'\"()-]", ""))).cast("double")
+    val upper = (length(text) - length(regexp_replace(text, "[A-Z]", ""))).cast("double")
+    val allStop = stopwords.flatMap(_._2).distinct
+    val stopHits = stopwordCount(toks, allStop).cast("double")
+    val meanTokLen = when(nToks > 0, round(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") / nToks, 4)).otherwise(lit(0.0))
+    val punctRatio = when(nChars > 0, round(punct / nChars, 4)).otherwise(lit(0.0))
+    val upperRatio = when(nChars > 0, round(upper / nChars, 4)).otherwise(lit(0.0))
+    val stopRatio = when(nToks > 0, round(stopHits / nToks, 4)).otherwise(lit(0.0))
+    // simple keep/drop gate in the spirit of C4/Gopher-style length+symbol rules
+    val keep = (nChars >= 50 && nToks >= 10 && punctRatio < lit(0.1) && meanTokLen >= 2 && meanTokLen <= 12)
+    docs.select(
+      col("doc_id"),
+      nChars.cast("long").as("n_chars"),
+      nToks.cast("long").as("n_tokens"),
+      meanTokLen.as("mean_token_len"),
+      punctRatio.as("punct_ratio"),
+      upperRatio.as("upper_ratio"),
+      stopRatio.as("stopword_ratio"),
+      keep.cast("int").as("keep"))
+  }
+
+  /** Token counting: whitespace tokens and a BPE-ish regex segmentation
+    * (letter runs / digit runs / single symbols) — the usual pre-tokenizer
+    * shape. The patterns avoid lookaround so the DuckDB (RE2) oracle can run
+    * the identical regex.
+    */
+  def tokenCounts(docs: DataFrame): DataFrame = docs.select(
+    col("doc_id"),
+    size(filter(split(col("text"), "\\s+"), t => length(t) > 0)).as("ws_tokens"),
+    size(expr("regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\\\s]', 0)")).as("bpeish_tokens"))
+
+  /** 64-bit polynomial rolling hash of the whole document (content
+    * fingerprint) + winnowing fingerprint set (min hash per sliding window
+    * of k-gram hashes) for local-match detection. UDF: single pass per doc.
+    */
+  def polyHash(s: String): Long = {
+    var h = 1469598103934665603L
+    var i = 0
+    while (i < s.length) { h = h * 1099511628211L + s.charAt(i); i += 1 }
+    h
+  }
+
+  /** winnowing: k-gram char hashes, window w, keep per-window minimum */
+  def winnow(s: String, k: Int = 8, w: Int = 16): Array[Long] = {
+    if (s.length < k) return Array(polyHash(s))
+    val grams = Array.tabulate(s.length - k + 1)(i => Dedup.fnv1a(s.substring(i, i + k)))
+    val out = scala.collection.mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i + w <= grams.length) {
+      var m = Long.MaxValue
+      var j = i
+      while (j < i + w) { if (grams(j) < m) m = grams(j); j += 1 }
+      out += m
+      i += w
+    }
+    if (out.isEmpty) out += grams.min
+    out.toArray
+  }
+
+  private val fpUdf = udf((text: String) => polyHash(text))
+  private val winnowUdf = udf((text: String) => winnow(text))
+
+  def fingerprints(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), fpUdf(col("text")).as("fingerprint"),
+      winnowUdf(col("text")).as("winnow_set"))
+}

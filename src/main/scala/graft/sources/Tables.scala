@@ -40,7 +40,9 @@ object Tables {
     import spark.implicits._
     val n = TranscriptGen.turnsFor(sfName(sfDir))
     val lay = TranscriptGen.layout(n)
-    val parts = math.max(8, (n / 100000L).toInt)
+    // enough files that a local[32] scan parallelizes fully even though the
+    // files are far below spark.sql.files.maxPartitionBytes
+    val parts = math.max(64, (n / 50000L).toInt)
     spark.range(0, n, 1, parts)
       .as[Long]
       .map(i => TranscriptGen.turn(i, lay))

@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+
+/** Correctness of the training-data operators that have no SQL oracle:
+  * MinHash/SimHash near-dup recall vs brute force, LSH ANN recall vs exact,
+  * fingerprint determinism, multimodal decode plumbing.
+  */
+class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+
+  /** crafted corpus: originals + near-duplicates (small token edits) */
+  private lazy val crafted = {
+    import spark.implicits._
+    val base = docs.limit(60).collect().map(r => (r.getLong(0), r.getString(1)))
+    val rows = base.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      val edited = (toks.take(toks.length - 2) :+ "zzz").mkString(" ") // drop 2 tokens, add 1
+      Seq((id, text), (id + 100000L, edited))
+    }
+    rows.toSeq.toDF("doc_id", "text")
+  }
+
+  test("minhash candidates achieve full recall on crafted near-dups (jaccard >= 0.5)") {
+    val brute = {
+      val texts = crafted.collect().map(r => (r.getLong(0), r.getString(1)))
+      (for {
+        (ia, ta) <- texts; (ib, tb) <- texts if ia < ib
+        j = Dedup.jaccard(ta, tb) if j >= 0.5
+      } yield (ia, ib)).toSet
+    }
+    assert(brute.nonEmpty, "crafted data must contain true near-dups")
+    val found = Dedup.minhashNearDups(crafted, 0.5).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // minhashNearDups verifies exact jaccard on candidates → no false positives
+    assert(found.subsetOf(brute))
+    val recall = found.intersect(brute).size.toDouble / brute.size
+    assert(recall >= 0.95, s"minhash recall $recall (found ${found.size} of ${brute.size})")
+  }
+
+  test("simhash near-dups: banding finds all pairs within hamming distance") {
+    val sigs = crafted.collect().map(r => (r.getLong(0), Dedup.simhash(r.getString(1))))
+    val brute = (for {
+      (ia, ha) <- sigs; (ib, hb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (ia, ib)).toSet
+    assert(brute.nonEmpty, "crafted data must contain simhash near-dups")
+    val found = Dedup.simhashNearDups(crafted, 3).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(found == brute) // pigeonhole banding is exact for hamming <= chunks-1
+  }
+
+  test("lsh ann reaches >= 60% recall of exact top-10 while scoring fewer candidates") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val exact = Similarity.bruteTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val approx = Similarity.lshTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(approx).size.toDouble / exact.size
+    assert(recall >= 0.6, s"lsh recall $recall")
+  }
+
+  test("embedding near-dup LSH path is a subset of brute force with high recall at safe thresholds") {
+    val brute = Dedup.embeddingNearDups(emb, 0.4).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Similarity.lshNearDups(emb, 0.4).select("a_id", "b_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(brute)) // same exact cosine filter → no false positives
+  }
+
+  test("fingerprints are deterministic and text-sensitive") {
+    val fp1 = TextAnalysis.fingerprints(docs.limit(50)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fp2 = TextAnalysis.fingerprints(docs.limit(50)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fp1 == fp2)
+    assert(fp1.values.toSet.size == fp1.size) // distinct texts → distinct fingerprints
+    assert(TextAnalysis.polyHash("abc") != TextAnalysis.polyHash("abd"))
+    // winnow: identical prefix documents share fingerprints
+    val w1 = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog " * 10)
+    val w2 = TextAnalysis.winnow("the quick brown fox jumps over the lazy dog " * 10 + "tail change")
+    assert(w1.toSet.intersect(w2.toSet).size >= w1.length - 2)
+  }
+
+  test("multimodal decode stub: schema, determinism, batch shape") {
+    val meta = Multimodal.decodeMeta(docs).collect()
+    assert(meta.length == docs.count())
+    assert(meta.forall(m => m.n_bytes > 0))
+    assert(meta.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
+    assert(meta.filter(_.media_type == "audio").forall(m => m.sample_rate == 16000 && m.width == 0))
+    assert(meta.filter(_.media_type == "image").forall(m => m.n_frames == 1 && m.width >= 64))
+    // pure-column variant agrees with the stub on byte length
+    val cols = Multimodal.metaColumns(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    meta.foreach(m => assert(cols(m.doc_id) == m.n_bytes))
+  }
+
+  test("language id picks the language with most stopword hits, deterministic ties") {
+    import spark.implicits._
+    val samples = Seq(
+      (1L, "the cat sat on the mat and it is a good day for the cat"),
+      (2L, "der hund und die katze das ist nicht ein problem mit der zeit"),
+      (3L, "le chat est dans la maison et les enfants dans une chambre pour que"),
+      (4L, "el perro y el gato es un animal en la casa por para los dos"),
+      (5L, "xyzzy plugh qwerty asdf")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(samples).collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got == Map(1L -> "en", 2L -> "de", 3L -> "fr", 4L -> "es", 5L -> "und"))
+  }
+
+  test("token counts: ws vs bpe-ish segmentation") {
+    import spark.implicits._
+    val d = Seq((1L, "hello world, 42 times!")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenCounts(d).collect()(0)
+    assert(r.getInt(1) == 4) // ws tokens
+    assert(r.getInt(2) == 6) // hello / world / "," / 42 / times / "!"
+  }
+}
