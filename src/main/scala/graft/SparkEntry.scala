@@ -96,6 +96,11 @@ object SparkEntry {
 
     "a7_windows" -> ((s, d) => Aggregates.windowDistribution(parsed(s, d))),
 
+    // A8: exact arrival-order bounded-window semantics (evictions + flush +
+    // late-drop); equals the batch sums on bounded-lateness data, diverges
+    // exactly like the reference on stragglers (PipelineAppSpec)
+    "a8_arrival_metrics" -> ((s, d) => MetricsArrivalOrder.metricRows(parsed(s, d)).toDF()),
+
     "f1_route_sinks" -> ((s, d) => Route.withSink(parsed(s, d))
       .select("conv_id", "turn_idx", "sink")),
 
@@ -153,7 +158,7 @@ object SparkEntry {
 
   def oracleSql: Map[String, String] = {
     val W = OracleSql.withParsed _
-    Map(
+    val base = Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
           |  sum(CAST(l_quantity AS DECIMAL(18,2))) AS sum_qty,
@@ -246,6 +251,7 @@ object SparkEntry {
 
       "a7_windows" -> W("SELECT time_window, count(*) AS cnt FROM parsed GROUP BY 1"),
 
+
       "f1_route_sinks" -> W(
         s"SELECT conv_id, turn_idx, ${OracleSql.sinkExpr} AS sink FROM parsed"),
 
@@ -332,5 +338,8 @@ object SparkEntry {
           |  CAST(64 + length(text) % 576 AS INT) AS width,
           |  CAST(64 + (length(text) * 7) % 320 AS INT) AS height
           |FROM documents""".stripMargin)
+    // a8 shares a6's SQL: arrival-order and batch sums coincide on the
+    // bounded-lateness generated data (divergence pinned in PipelineAppSpec)
+    base + ("a8_arrival_metrics" -> base("a6_metric_rows"))
   }
 }

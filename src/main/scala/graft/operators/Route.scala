@@ -122,21 +122,29 @@ object Route {
       col("ua_os"), col("ua_family"), col("ua_device_type"), col("ua_human"), col("ua_intent"))
   }
 
+  /** content-stable partition column: event-time day bucket */
+  private def dayBucket = coalesce(
+    date_format(expr("timestampadd(SECOND, tz_offset_sec, log_ts)"), "yyyyMMdd"),
+    lit("00010101"))
+
   /** Multi-sink fan-out with per-partition lineage manifest + resume.
-    * One salted pass, one write partitioned by sink; a manifest recording
-    * (sink → rows, checksum) plus the input fingerprint. If the manifest
-    * already matches the input fingerprint the write is skipped — the
-    * checkpoint-resume contract (north rule).
+    * One salted pass, one write partitioned by (sink, event-day bucket) —
+    * content-stable partition keys, not task ids (SURVEY.md §7.4 item 5).
+    * The manifest records per-(sink, bucket) row counts and order-free
+    * checksums plus the input fingerprint; a rerun over the same input
+    * finds the matching manifest and skips the write entirely — the
+    * checkpoint-resume contract (north rule). A changed input (different
+    * fingerprint) rewrites and re-manifests.
     *
     * Returns the manifest JSON string.
     */
   def fanOutWithLineage(routed: DataFrame, outDir: String, partitions: Int): String = {
     val manifestPath = Paths.get(outDir, "_lineage", "manifest.json")
-    // input fingerprint: count + checksum over stable keys
+    // input fingerprint: count + order-insensitive checksum over stable keys
     val fp = routed
       .agg(
         count(lit(1)).as("rows"),
-        expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("checksum"))
+        coalesce(expr("bit_xor(xxhash64(conv_id, turn_idx, text))"), lit(0L)).as("checksum"))
       .collect()(0)
     val fpJson = s"""{"rows":${fp.getLong(0)},"checksum":${fp.getLong(1)}}"""
 
@@ -145,23 +153,23 @@ object Route {
       if (existing.contains(s""""input":$fpJson""")) return existing // resume: already done
     }
 
-    salted(routed, partitions)
+    salted(routed.withColumn("bucket", dayBucket), partitions)
       .write.mode(SaveMode.Overwrite)
-      .partitionBy("sink")
+      .partitionBy("sink", "bucket")
       .parquet(outDir + "/data")
 
-    val perSink = routed
-      .groupBy(col("sink"))
+    val perPartition = routed
+      .groupBy(col("sink"), dayBucket.as("bucket"))
       .agg(
         count(lit(1)).as("rows"),
-        expr("bit_xor(xxhash64(conv_id, turn_idx, text))").as("checksum"),
+        coalesce(expr("bit_xor(xxhash64(conv_id, turn_idx, text))"), lit(0L)).as("checksum"),
         min(col("turn_idx")).as("min_turn"),
         max(col("turn_idx")).as("max_turn"))
       .collect()
-      .map(r => s"""{"sink":"${r.getString(0)}","rows":${r.getLong(1)},"checksum":${r.getLong(2)},"min_turn":${r.getInt(3)},"max_turn":${r.getInt(4)}}""")
+      .map(r => s"""{"sink":"${r.getString(0)}","bucket":"${r.getString(1)}","rows":${r.getLong(2)},"checksum":${r.getLong(3)},"min_turn":${r.getInt(4)},"max_turn":${r.getInt(5)}}""")
       .sorted
       .mkString("[", ",", "]")
-    val manifest = s"""{"input":$fpJson,"partitions":$perSink}"""
+    val manifest = s"""{"input":$fpJson,"partitions":$perPartition}"""
     Files.createDirectories(manifestPath.getParent)
     Files.write(manifestPath, manifest.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

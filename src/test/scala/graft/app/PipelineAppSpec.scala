@@ -1,0 +1,136 @@
+package graft.app
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.SparkTestBase
+import graft.model.TranscriptTurn
+import graft.operators.{Aggregates, MetricsArrivalOrder, ParseStage}
+import graft.oracle.RefOracle
+import graft.sources.Tables
+
+class PipelineAppSpec extends AnyFunSuite with SparkTestBase {
+
+  test("arrival-order metrics == batch sums on bounded-lateness data") {
+    import spark.implicits._
+    val turns = Tables.localTurns(2000)
+    val parsed = ParseStage.parse(spark.createDataset(turns).toDF())
+    val exact = MetricsArrivalOrder.metricRows(parsed, partitions = 8).collect()
+      .map(m => (m.conv_id, m.metric_type, Option(m.key_value), m.time_window) -> m.metric_value).toMap
+    val batch = Aggregates.metricRows(parsed).collect()
+      .map(r => (r.getString(0), r.getInt(1), Option(r.getString(2)), r.getLong(3)) -> r.getLong(4)).toMap
+    assert(exact == batch)
+  }
+
+  test("arrival-order metrics match the oracle EXACTLY on adversarial straggler data") {
+    import spark.implicits._
+    // one conversation whose 40 turns jump forward 5 windows then send a
+    // straggler from the distant past — crosses the eviction horizon, so
+    // the late increment must be silently dropped (SBOMetrics.go:193-196)
+    val base = 1763337600L
+    def line(sec: Long, status: String) =
+      s"""1.2.3.4 - - [${graft.sources.TranscriptGen.renderTs(sec)}] "GET / HTTP/1.1" $status 100 "-" "curl/8.5.0""""
+    val turns = (0 until 40).map { i =>
+      val sec = if (i == 30) base - 7200 else base + i * 600 // straggler at turn 30
+      TranscriptTurn("adversarial-conv", i, "user", line(sec, "200"), "", new java.sql.Timestamp(sec * 1000))
+    }
+    val parsed = ParseStage.parse(spark.createDataset(turns).toDF())
+    val exact = MetricsArrivalOrder.metricRows(parsed, partitions = 4).collect()
+      .map(m => (m.metric_type, Option(m.key_value), m.time_window) -> m.metric_value).toMap
+    val oracle = RefOracle.metricRows(turns)
+      .map(m => (m.metric_type, Option(m.key_value), m.time_window) -> m.metric_value).toMap
+    assert(exact == oracle)
+    // and the batch (order-insensitive) version DIFFERS here: it counts the straggler
+    val batch = Aggregates.metricRows(parsed).collect()
+      .map(r => (r.getInt(1), Option(r.getString(2)), r.getLong(3)) -> r.getLong(4)).toMap
+    assert(batch != oracle)
+    assert(batch.values.sum > oracle.values.sum) // straggler dropped by reference semantics
+  }
+
+  test("full pipeline run: sinks written, manifest idempotent, counter report formatted") {
+    val out = java.nio.file.Files.createTempDirectory("graft-pipeline").toString
+    val r1 = Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    assert(r1.rows == 6000)
+    assert(r1.report.contains("Total log lines"))
+    assert(r1.report.contains("-not set-")) // empty referer key rendering
+    assert(new java.io.File(s"$out/metrics").exists())
+    assert(new java.io.File(s"$out/rawlogs").exists())
+    assert(new java.io.File(s"$out/relog").exists())
+    // relog JSON carries Go field names incl. null UserAgent for CLF lines
+    val relog = spark.read.textFile(s"$out/relog").collect()
+    assert(relog.exists(_.contains(""""UserAgent":null""")))
+    assert(relog.forall(_.contains(""""IsOutOfOrder":false""")))
+    // resume: identical manifest, no rewrite
+    val r2 = Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    assert(r1.manifest == r2.manifest)
+    // manifest carries per-(sink,bucket) lineage
+    assert(r1.manifest.contains(""""bucket":"""))
+    assert(r1.manifest.contains(""""checksum":"""))
+  }
+
+  test("metrics sink: key_value truncated to 100 chars, domain ids joined") {
+    val out = java.nio.file.Files.createTempDirectory("graft-metrics").toString
+    Pipeline.run(spark, "/root/testdata/sf0.001", out)
+    val m = spark.read.parquet(s"$out/metrics")
+    assert(m.filter(length(col("key_value")) > 100).count() == 0)
+    assert(m.filter(col("domain_id").isNull).count() == 0)
+    // metric types present: all 12 live families (4=CLIENT_IP disabled)
+    val types = m.select("metric_type").distinct().collect().map(_.getInt(0)).toSet
+    assert(types == Set(1, 2, 3, 5, 6, 7, 11, 12, 13, 14, 15))
+  }
+
+  test("S3 start offset: N skips first N turns per conversation, -1 yields nothing") {
+    val out = java.nio.file.Files.createTempDirectory("graft-offset").toString
+    val r = Pipeline.run(spark, "/root/testdata/sf0.001", out, JobConfig(startFrom = 5, handlers = Seq()))
+    val total = Tables.localTurns(6000).count(_.turn_idx >= 5)
+    assert(r.rows == total)
+    val rEnd = Pipeline.run(spark, "/root/testdata/sf0.001",
+      java.nio.file.Files.createTempDirectory("graft-offset2").toString,
+      JobConfig(startFrom = -1, handlers = Seq()))
+    assert(rEnd.rows == 0)
+  }
+
+  test("JobConfig JSON loader") {
+    val cfg = JobConfig.fromJson(
+      """{"Handlers": ["COUNTER", "METRICS"], "TimeWindowSizeMinutes": 5,
+        |"MetricsWindowSize": 4, "SaveLogsToDbMaskIPs": true, "StartFrom": -1,
+        |"DomainName": "example.test", "ArrivalOrderMetrics": true}""".stripMargin)
+    assert(cfg.handlers == Seq("COUNTER", "METRICS"))
+    assert(cfg.timeWindowSizeMinutes == 5 && cfg.metricsWindowSize == 4)
+    assert(cfg.saveLogsToDbMaskIps && cfg.arrivalOrderMetrics)
+    assert(cfg.startFrom == -1 && cfg.domainName == "example.test")
+    assert(cfg.replaceExistingMetrics) // default preserved
+  }
+
+  test("counter report deltas between two snapshots (A3)") {
+    import spark.implicits._
+    val p1 = ParseStage.parse(spark.createDataset(Tables.localTurns(500)).toDF())
+    val p2 = ParseStage.parse(spark.createDataset(Tables.localTurns(1000)).toDF())
+    val s1 = CounterReport.snapshot(p1)
+    val s2 = CounterReport.snapshot(p2)
+    val rep = CounterReport.format(s2, Some(s1), 5, "2026-01-01T00:00:00Z")
+    assert(rep.contains("(+")) // deltas rendered
+    assert(rep.contains("Total log lines"))
+    val noDelta = CounterReport.format(s2, None, 5)
+    assert(!noDelta.contains("(+"))
+  }
+
+  test("masked raw logs null the IP and keep the LAST 100 UA chars (mysqldb.go:208)") {
+    import spark.implicits._
+    val longUa = "curl " + ("x" * 150) + "END-OF-UA" // > 100 chars, not matching script regexes? 'curl' matches... keep simple
+    val parsed = ParseStage.parse(spark.createDataset(Tables.localTurns(300)).toDF())
+    val masked = graft.operators.Route.rawLogProjection(parsed, maskIps = true)
+    assert(masked.filter(col("client_ip").isNotNull).count() == 0)
+    val unmasked = graft.operators.Route.rawLogProjection(parsed, maskIps = false)
+    assert(unmasked.filter(col("client_ip").isNull).count() == 0)
+    // truncation semantics on a crafted long UA
+    val expanse = parsed.filter(col("ua_full").startsWith("Expanse")).limit(1)
+    if (expanse.count() > 0) {
+      val full = expanse.collect()(0).getAs[String]("ua_full")
+      val m = graft.operators.Route.rawLogProjection(expanse, maskIps = true).collect()(0)
+      assert(m.getAs[String]("ua_string") == full.takeRight(100))
+      val u = graft.operators.Route.rawLogProjection(expanse, maskIps = false).collect()(0)
+      assert(u.getAs[String]("ua_string") == full.take(100))
+    }
+  }
+}
