@@ -1,0 +1,65 @@
+package graft.operators
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Physical-plan assertions: the properties that make these queries scale
+  * (pushdown, broadcast, shuffle count, codegen) are pinned so a refactor
+  * that silently loses them fails the build.
+  */
+class PlanSpec extends AnyFunSuite with SparkTestBase {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan.toString
+
+  test("q1: shipdate predicate is pushed into the parquet scan") {
+    val p = plan("q1_agg")
+    assert(p.contains("PushedFilters"), p.take(500))
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "filter must reach the scan")
+  }
+
+  test("q1: scan reads only the projected columns") {
+    val p = plan("q1_agg")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).getOrElse("")
+    assert(readSchema.contains("l_returnflag") && !readSchema.contains("l_partkey"),
+      s"column pruning lost: $readSchema")
+  }
+
+  test("joins against small dimensions broadcast (no shuffle join)") {
+    assert(plan("q_join_bcast").contains("BroadcastHashJoin"))
+    assert(plan("q3_topn_join").contains("BroadcastHashJoin"))
+    assert(plan("j1_enrich").contains("BroadcastHashJoin"))
+    assert(!plan("q_join_bcast").contains("SortMergeJoin"))
+  }
+
+  test("a6: all 12 metric families aggregate through exactly one shuffle") {
+    val p = plan("a6_metric_rows")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+
+  test("a2: 9 keyed-count dimensions share one shuffle") {
+    val p = plan("a2_keyed_counts")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).length
+    assert(exchanges == 1, s"expected 1 exchange, got $exchanges")
+  }
+
+  test("a6: explode + aggregate stages are whole-stage codegen'd, with map-side combine") {
+    val df = SparkEntry.queries("a6_metric_rows")(spark, sf)
+    df.collect() // collect() runs THIS queryExecution, finalizing the adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("*("), s"no whole-stage codegen stages in: ${p.take(800)}")
+    // partial aggregation before the exchange (map-side combine)
+    assert(p.contains("partial_sum") || p.contains("HashAggregate"))
+  }
+
+  test("salted fan-out exchanges on (conv_id, salt) and sorts within partitions") {
+    import org.apache.spark.sql.functions._
+    val parsed = ParseStage.parse(graft.sources.Tables.transcripts(spark, sf)).limit(10)
+    val p = Route.salted(parsed, 8).queryExecution.executedPlan.toString
+    assert(p.contains("Exchange hashpartitioning(conv_id"))
+    assert(p.contains("Sort [conv_id"))
+  }
+}
