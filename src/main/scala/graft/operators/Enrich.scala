@@ -1,29 +1,66 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Enrichment joins (SURVEY.md §2 J1/J2): the reference's grow-on-first-sight
   * dimension lookup (db/mysqldb.go:91-121 GetDomainId) re-expressed as a
-  * broadcast hash join against a dimension built in one pass. Surrogate ids
-  * are assigned by FIRST APPEARANCE in stable (conv_id, turn_idx) order —
-  * deterministic, unlike insertion order under concurrency in the reference.
+  * broadcast hash join against a dimension built in one aggregation pass.
+  * Surrogate ids are assigned by FIRST APPEARANCE in stable (conv_id,
+  * turn_idx) order — deterministic, unlike insertion order under concurrency
+  * in the reference.
   *
-  * The dimensions are tiny (roles, tools, domains), so `broadcast()` keeps
-  * every join shuffle-free on the fact side — at 100 TB this is the only
-  * sane plan, and Catalyst is told so explicitly.
+  * The dimensions are tiny (roles, tools, domains), so they are aggregated
+  * distributively (min first-seen key per value — map-side combine, one
+  * shuffle of #distinct rows), collected, numbered on the driver, and
+  * broadcast — the fact side never shuffles. At 100 TB this is the only
+  * sane plan, and Catalyst is told so explicitly via `broadcast()`.
   */
 object Enrich {
 
-  /** first-sight surrogate-id dimension over one column. */
-  def dimension(df: DataFrame, keyCol: String, idCol: String): DataFrame = {
-    val firstSeen = df
-      .groupBy(col(keyCol))
-      .agg(min(concat_ws("#", col("conv_id"), lpad(col("turn_idx").cast("string"), 12, "0"))).as("first_seen"))
-    firstSeen
-      .withColumn(idCol, row_number().over(Window.orderBy(col("first_seen"))))
-      .drop("first_seen")
+  /** stable first-appearance ordering key */
+  private def firstKey: Column =
+    concat_ws("#", col("conv_id"), lpad(col("turn_idx").cast("string"), 12, "0"))
+
+  /** Build several first-sight dimensions in ONE pass over the fact table:
+    * unpivot the requested columns, aggregate min(first-seen) per (dim, key),
+    * collect (tiny), assign row-number ids per dim on the driver.
+    * Returns dim name → Seq[(key, id)].
+    */
+  def firstSightDims(df: DataFrame, dims: Seq[String]): Map[String, Seq[(String, Int)]] = {
+    val entries = dims.map(c => struct(lit(c).as("dim"), col(c).cast("string").as("key")))
+    val rows = df
+      .select(explode(array(entries: _*)).as("e"), firstKey.as("fk"))
+      .groupBy(col("e.dim").as("dim"), col("e.key").as("key"))
+      .agg(min(col("fk")).as("first_seen"))
+      .collect()
+    dims.map { d =>
+      d -> rows.filter(_.getString(0) == d)
+        .sortBy(_.getString(2))
+        .zipWithIndex
+        .map { case (r, i) => (r.getString(1), i + 1) }
+        .toSeq
+    }.toMap
+  }
+
+  private def dimDf(df: DataFrame, pairs: Seq[(String, Int)], keyCol: String, idCol: String): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    pairs.toDF(keyCol, idCol)
+  }
+
+  /** single-dimension variant (kept for the generic API) */
+  def dimension(df: DataFrame, keyCol: String, idCol: String): DataFrame =
+    dimDf(df, firstSightDims(df, Seq(keyCol))(keyCol), keyCol, idCol)
+
+  /** role + tool enrichment (the north-star lookup dims) — both dims from
+    * one aggregation pass, then two broadcast joins.
+    */
+  def withRoleToolIds(parsed: DataFrame): DataFrame = {
+    val dims = firstSightDims(parsed, Seq("role", "tool"))
+    parsed
+      .join(broadcast(dimDf(parsed, dims("role"), "role", "role_id")), Seq("role"), "left")
+      .join(broadcast(dimDf(parsed, dims("tool"), "tool", "tool_id")), Seq("tool"), "left")
   }
 
   /** J2 + J1: per-row domain = parsed vhost domain if non-empty else the
@@ -34,14 +71,5 @@ object Enrich {
       "domain_name", coalesce(nullif(col("domain"), lit("")), lit(defaultDomain)))
     val dim = dimension(withName, "domain_name", "domain_id")
     withName.join(broadcast(dim), Seq("domain_name"), "left")
-  }
-
-  /** role + tool enrichment (the north-star lookup dims). */
-  def withRoleToolIds(parsed: DataFrame): DataFrame = {
-    val roleDim = dimension(parsed, "role", "role_id")
-    val toolDim = dimension(parsed, "tool", "tool_id")
-    parsed
-      .join(broadcast(roleDim), Seq("role"), "left")
-      .join(broadcast(toolDim), Seq("tool"), "left")
   }
 }
