@@ -38,6 +38,7 @@ object Tables {
 
   private def synthesize(spark: SparkSession, sfDir: String, path: String): Unit = {
     import spark.implicits._
+    import org.apache.spark.sql.functions._
     val n = TranscriptGen.turnsFor(sfName(sfDir))
     val lay = TranscriptGen.layout(n)
     // enough files that a local[32] scan parallelizes fully even though the
@@ -46,6 +47,10 @@ object Tables {
     spark.range(0, n, 1, parts)
       .as[Long]
       .map(i => TranscriptGen.turn(i, lay))
+      // deterministic scramble (FIXTURES.md §1): rows land hash-scattered
+      // across files so nothing downstream can lean on input order — the
+      // engine must recover stable (conv_id, turn_idx) order itself
+      .repartitionByRange(parts, xxhash64(col("conv_id"), col("turn_idx")))
       .write.mode(SaveMode.Overwrite)
       .parquet(path)
   }

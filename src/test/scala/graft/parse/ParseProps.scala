@@ -1,0 +1,93 @@
+package graft.parse
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+
+import graft.oracle.RefOracle
+import graft.sources.{Tables, TranscriptGen}
+
+/** Property-based tests (SURVEY.md §5.3) — pure, no Spark session:
+  * render∘parse identity, aggregate-sum invariants, arrival-order
+  * insensitivity of the batch aggregates under bounded lateness.
+  */
+object ParseProps extends Properties("graft.parse") {
+
+  private val genIndex: Gen[Long] = Gen.chooseNum(0L, 59999L)
+  private val lay = TranscriptGen.layout(60000L)
+
+  property("every generated turn parses and round-trips its rendered fields") =
+    forAll(genIndex) { i =>
+      val t = TranscriptGen.turn(i, lay)
+      LineParser.parseAuto(t.text) match {
+        case None => Prop.falsified :| s"unparseable: ${t.text}"
+        case Some(p) =>
+          val tsOk = p.log_ts.exists(ts => math.abs(ts.getTime - t.ts.getTime) < 1000)
+          val statusOk = p.status.nonEmpty && p.status.forall(_.isDigit)
+          val bytesOk = p.bytes_sent >= 1 && p.bytes_sent <= 50000
+          (Prop(tsOk) :| "timestamp round-trip") &&
+            (Prop(statusOk) :| "status") && (Prop(bytesOk) :| "bytes")
+      }
+    }
+
+  property("detection is stable: re-parsing with the detected format gives the same result") =
+    forAll(genIndex) { i =>
+      val line = TranscriptGen.turn(i, lay).text
+      val auto = LineParser.parseAuto(line)
+      val redo = LineParser.detect(line).flatMap(f => LineParser.parse(line, f))
+      auto == redo
+    }
+
+  property("keyed counts sum to the total for every dimension") =
+    forAll(Gen.chooseNum(50, 400)) { n =>
+      val parsed = RefOracle.parseAll(Tables.localTurns(n.toLong)).map(_._2)
+      val totals = RefOracle.counterTotals(parsed)
+      RefOracle.keyedCounts(parsed).forall { case (_, m) =>
+        m.values.sum == totals.handledEntries
+      }
+    }
+
+  property("metric REQ_COUNT sums to the number of parsed entries (bounded lateness)") =
+    forAll(Gen.chooseNum(50, 400)) { n =>
+      val turns = Tables.localTurns(n.toLong)
+      val parsedCount = RefOracle.parseAll(turns).size
+      val reqTotal = RefOracle.metricRows(turns)
+        .filter(_.metric_type == graft.model.MetricType.ReqCount)
+        .map(_.metric_value).sum
+      reqTotal == parsedCount
+    }
+
+  property("unescapePath inverts percent-encoding for ASCII strings") = {
+    val asciiGen = Gen.listOf(Gen.choose(33.toChar, 126.toChar)).map(_.mkString)
+    forAll(asciiGen) { s =>
+      val escaped = s.flatMap {
+        case c if c.isLetterOrDigit || c == '/' => c.toString
+        case c => f"%%${c.toInt}%02X"
+      }
+      GoUrl.unescapePath(escaped).contains(s)
+    }
+  }
+
+  property("jaccard is symmetric, reflexive, bounded") = {
+    val textGen = Gen.nonEmptyListOf(Gen.oneOf("spark", "data", "row", "agg", "scan",
+      "join", "key", "window", "batch", "merge")).map(_.mkString(" "))
+    forAll(textGen, textGen) { (a, b) =>
+      val jab = graft.operators.Dedup.jaccard(a, b)
+      val jba = graft.operators.Dedup.jaccard(b, a)
+      jab == jba && jab >= 0.0 && jab <= 1.0 &&
+        graft.operators.Dedup.jaccard(a, a) == 1.0
+    }
+  }
+
+  property("time window floors to the configured size in the event's own offset") =
+    forAll(Gen.chooseNum(0L, 4102444800L), Gen.oneOf(1, 5, 10, 15, 30, 60),
+      Gen.oneOf(-43200, -25200, 0, 3600, 19800)) { (epoch, w, off) =>
+      val odt = java.time.Instant.ofEpochSecond(epoch)
+        .atOffset(java.time.ZoneOffset.ofTotalSeconds(off))
+      val p = graft.model.ParsedFields("", "", "", "",
+        Some(java.sql.Timestamp.from(odt.toInstant)), off,
+        "", "", "", "", "", "", "200", 0L, "", None, 0, "")
+      val tw = RefOracle.timeWindow(p, w)
+      val minutePart = (tw % 100).toInt
+      minutePart % w == 0 && minutePart < 60 && tw > 0
+    }
+}
