@@ -28,3 +28,5 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
+// optional GC experiment knob (e.g. SPARK_GRAFT_GC=UseParallelGC)
+javaOptions ++= sys.env.get("SPARK_GRAFT_GC").map(g => Seq(s"-XX:+$g")).getOrElse(Seq.empty)
