@@ -136,7 +136,7 @@ object Bench {
     // per-query corpus so the parallel fraction dominates fixed per-stage
     // overheads — at 600k turns a 32-core local run is scheduling-bound and
     // the ratio says nothing about the partitioning.
-    val scalingDir = "/root/testdata/sf0.8" // name only; table is synthesized
+    val scalingDir = "/root/testdata/sf4" // name only; table is synthesized
     Tables.transcripts(spark, scalingDir).count() // materialize outside timing
     spark.stop()
     SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
@@ -156,7 +156,7 @@ object Bench {
     val samples = (1 to 4).map(_ => (oneRun(8), oneRun(32)))
     val t8 = samples.map(_._1).min
     val t32 = samples.map(_._2).min
-    val scalingTurns = 4800000L
+    val scalingTurns = 24000000L
     val hwRatio = cpuRatio(8, 32)
 
     val tps8 = scalingTurns / t8

@@ -71,7 +71,22 @@ object UserAgents {
     }
   }
 
+  /** Memoized classification: UA-string cardinality is tiny relative to row
+    * count (a closed pool here; low thousands in real logs), and classify is
+    * a pure function — the reference memoizes nothing but pays the regex per
+    * line on one goroutine. Bounded: stops inserting past 100k entries.
+    */
+  private val cache = new java.util.concurrent.ConcurrentHashMap[String, UaInfo]()
+
   def classify(uaString: String): UaInfo = {
+    val hit = cache.get(uaString)
+    if (hit != null) return hit
+    val r = classifyUncached(uaString)
+    if (cache.size < 100000) cache.put(uaString, r)
+    r
+  }
+
+  def classifyUncached(uaString: String): UaInfo = {
     val st = new State
     val lower = uaString.toLowerCase
 
