@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pin the LSH/fingerprint signature tables the DuckDB oracle reads
+    // (synth-on-first-use, deterministic — see graft.sources.SigTables)
+    graft.sources.SigTables.ensure(spark, sfDir)
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

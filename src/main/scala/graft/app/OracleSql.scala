@@ -150,7 +150,7 @@ object OracleSql {
   parsed AS (
     SELECT conv_id, turn_idx, role, tool, ts, text, fmt, domain, client_ip,
       remote_logname, remote_user, log_ts, method, uri, path, path1, path2, path3,
-      protocol, status, bytes_sent, referer, malicious, ua_intent,
+      protocol, status, bytes_sent, referer, malicious, ua_raw, ua_intent,
       CASE WHEN ua_raw IS NULL THEN NULL
            WHEN path1 = '/robots.txt' AND ua_family0 NOT IN ('AIBot','SEOBot','Script','SearchBot','SocialBot')
              THEN 'OtherBot' ELSE ua_family0 END AS ua_family,
@@ -166,6 +166,51 @@ object OracleSql {
   }
 
   def withParsed(body: String): String = s"WITH$parsedCte\n$body"
+
+  /** signature-table parquet globs (graft.sources.SigTables), pinned at the
+    * verify scale — the oracle re-executes the distributed logic (band joins,
+    * bit-counts, cosine rescoring) over signatures the engine's own
+    * deterministic hash functions produced at synth time
+    */
+  val sigsRoot = s"/root/repo/data/sigs/$verifySf"
+  val docSigsGlob = s"$sigsRoot/doc_sigs/*.parquet"
+  val minhashBandsGlob = s"$sigsRoot/minhash_bands/*.parquet"
+  val embSigsGlob = s"$sigsRoot/emb_sigs/*.parquet"
+
+  /** the A2 keyed-count unpivot in SQL, generated from the same dim table
+    * the engine uses (Aggregates.counterDims) so the two cannot drift
+    */
+  val keyedLongSql: String = graft.operators.Aggregates.counterDims
+    .map { case (d, c) => s"SELECT '$d' AS dim, $c AS key FROM parsed" }
+    .mkString(" UNION ALL ")
+
+  /** the A6 12-family metric unpivot + aggregate (shared by a6/a8/r3) */
+  val metricRowsSql: String =
+    """SELECT conv_id, metric_type, key_value, time_window,
+      |  CAST(sum(inc) AS BIGINT) AS metric_value FROM (
+      |  SELECT conv_id, 1 AS metric_type, '' AS key_value, time_window, 1 AS inc FROM parsed UNION ALL
+      |  SELECT conv_id, 2, '', time_window, bytes_sent FROM parsed UNION ALL
+      |  SELECT conv_id, 3, status, time_window, 1 FROM parsed UNION ALL
+      |  SELECT conv_id, 5, method, time_window, 1 FROM parsed UNION ALL
+      |  SELECT conv_id, 6, referer, time_window, 1 FROM parsed WHERE len(referer) > 0 UNION ALL
+      |  SELECT conv_id, 7, path1, time_window, 1 FROM parsed WHERE status LIKE '2%' UNION ALL
+      |  SELECT conv_id, 7, path2, time_window, 1 FROM parsed WHERE status LIKE '2%' AND len(path2) > 0 UNION ALL
+      |  SELECT conv_id, 7, path3, time_window, 1 FROM parsed WHERE status LIKE '2%' AND len(path3) > 0 UNION ALL
+      |  SELECT conv_id, 11, ua_family, time_window, 1 FROM parsed UNION ALL
+      |  SELECT conv_id, 12, ua_os, time_window, 1 FROM parsed UNION ALL
+      |  SELECT conv_id, 13, ua_device_type, time_window, 1 FROM parsed UNION ALL
+      |  SELECT conv_id, 14, ua_human, time_window, 1 FROM parsed UNION ALL
+      |  SELECT conv_id, 15, ua_intent, time_window, 1 FROM parsed
+      |) GROUP BY 1, 2, 3, 4""".stripMargin
+
+  /** the J2 domain dimension CTEs (shared by j2/r3) — named/dim over parsed */
+  val domainDimCtes: String =
+    s""", named AS (
+       |  SELECT *, CASE WHEN domain = '' THEN '${graft.sources.TranscriptGen.defaultDomain}' ELSE domain END AS domain_name FROM parsed
+       |), dim AS (
+       |  SELECT domain_name, row_number() OVER (ORDER BY min(conv_id || '#' || lpad(CAST(turn_idx AS VARCHAR), 12, '0'))) AS domain_id
+       |  FROM named GROUP BY domain_name
+       |)""".stripMargin
 
   /** F1 + rule-table sink label (must mirror graft.operators.Route.rules) */
   val sinkExpr: String =

@@ -53,8 +53,14 @@ object Aggregates {
     */
   def topN(parsed: DataFrame, dimCol: String, n: Int): DataFrame = {
     val counts = parsed.groupBy(col(dimCol).as("key")).agg(count(lit(1)).as("cnt"))
+    // orderBy+limit plans TakeOrderedAndProject: each partition keeps a
+    // bounded top-N, the driver merges — no single-task global sort of all
+    // distinct keys (the unpartitioned-window plan this replaces would
+    // funnel the full key cardinality into one executor at scale).
+    val top = counts.orderBy(col("cnt").desc, col("key").asc).limit(n)
+    // rank derived over the ≤n surviving rows only (trivially small input)
     val w = Window.orderBy(col("cnt").desc, col("key").asc)
-    counts.withColumn("rank", row_number().over(w)).filter(col("rank") <= n)
+    top.withColumn("rank", row_number().over(w))
   }
 
   /** A6+A7: the 12 metric families unpivoted into long format and summed by

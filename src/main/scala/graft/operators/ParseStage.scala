@@ -28,8 +28,14 @@ object ParseStage {
   /** transcripts(conv_id, turn_idx, role, text, tool, ts) → flat parsed DF.
     * Unparseable lines are dropped (the reference counts them as errors and
     * emits nothing, main.go:753-756 / :789).
+    *
+    * quirk=true reproduces main.go:744's variable shadowing end-to-end: the
+    * format-detection line — the first line (in turn order) of each
+    * conversation that parses — is itself dropped, exactly like
+    * RefOracle.parseConv(quirk = true). Default emits it (documented
+    * divergence, SURVEY.md §2 P1).
     */
-  def parse(transcripts: DataFrame, keepText: Boolean = true): DataFrame = {
+  def parse(transcripts: DataFrame, keepText: Boolean = true, quirk: Boolean = false): DataFrame = {
     val spark = transcripts.sparkSession
     import spark.implicits._
     val flat = transcripts
@@ -38,17 +44,35 @@ object ParseStage {
       .as[TranscriptTurn]
       .mapPartitions(_.flatMap(t => LineParser.parseAuto(t.text).map(p => ParsedTurn(t, p))))
       .toDF()
-    if (keepText) flat else flat.drop("text")
+    val quirked =
+      if (!quirk) flat
+      else {
+        // detection line = min parsed turn_idx per conversation (parse order
+        // IS turn order). A conv-partitioned window — scale-safe, one shuffle.
+        val w = org.apache.spark.sql.expressions.Window.partitionBy(col("conv_id"))
+        flat.withColumn("_det", min(col("turn_idx")).over(w))
+          .filter(col("turn_idx") =!= col("_det"))
+          .drop("_det")
+      }
+    if (keepText) quirked else quirked.drop("text")
   }
 
   /** Event-time window as int64 yyyyMMddHHmm, minute floored to the window
     * size, computed in the event's own UTC offset — exact integer semantics
     * of metricgenerator.go:131-158. Null timestamp → the Go zero-time window.
     */
+  /** Instant shifted by its own UTC offset: formatting the result in a UTC
+    * session yields the event's local-time fields. Built from the passed
+    * Columns (cast arithmetic, not a name-bound expr): log timestamps are
+    * whole seconds by construction (strptime stops at seconds), so the
+    * long-seconds round-trip is exact.
+    */
+  def localTs(logTs: Column, tzOffsetSec: Column): Column =
+    (logTs.cast("long") + tzOffsetSec.cast("long")).cast("timestamp")
+
   def timeWindowCol(logTs: Column, tzOffsetSec: Column, windowMinutes: Int = 10): Column = {
     require(Set(1, 5, 10, 15, 30, 60).contains(windowMinutes), s"bad window $windowMinutes")
-    // shift the instant by its offset, then format in UTC = local-time fields
-    val local = expr("timestampadd(SECOND, tz_offset_sec, log_ts)")
+    val local = localTs(logTs, tzOffsetSec)
     val minuteFloored =
       if (windowMinutes == 60) lit(0L)
       else (minute(local) - (minute(local) % windowMinutes)).cast("long")

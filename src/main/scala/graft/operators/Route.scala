@@ -58,10 +58,12 @@ object Route {
 
   /** Go field-name projection for the WRITE_TO_FILE JSON sink (R2,
     * handlers/writetofile.go:50-90): field names and timestamp rendering
-    * match Go's json.Marshal of SBOHttpRequestLog.
+    * match Go's json.Marshal of SBOHttpRequestLog. withKeys=true prepends
+    * (conv_id, turn_idx) — not part of the sink format, used by the driver
+    * correctness query to make the projection row-addressable.
     */
-  def goJsonProjection(parsed: DataFrame): DataFrame = {
-    val local = expr("timestampadd(SECOND, tz_offset_sec, log_ts)")
+  def goJsonProjection(parsed: DataFrame, withKeys: Boolean = false): DataFrame = {
+    val local = ParseStage.localTs(col("log_ts"), col("tz_offset_sec"))
     val off = col("tz_offset_sec")
     val tzSuffix = when(off === 0, lit("Z")).otherwise(
       concat(
@@ -71,7 +73,8 @@ object Route {
         lpad(((abs(off) % 3600) / 60).cast("int").cast("string"), 2, "0")))
     val rfc3339 = when(col("log_ts").isNull, lit("0001-01-01T00:00:00Z"))
       .otherwise(concat(date_format(local, "yyyy-MM-dd'T'HH:mm:ss"), tzSuffix))
-    parsed.select(
+    val keys = if (withKeys) Seq(col("conv_id"), col("turn_idx")) else Nil
+    parsed.select(keys ++ Seq(
       col("domain").as("Domain"),
       col("client_ip").as("ClientIP"),
       col("remote_logname").as("RemoteLogname"),
@@ -94,37 +97,45 @@ object Route {
         col("ua_human").as("Human"),
         col("ua_intent").as("Intent"))).as("UserAgent"),
       col("malicious").as("Malicious"),
-      lit(false).as("IsOutOfOrder"))
+      lit(false).as("IsOutOfOrder")): _*)
   }
 
-  /** R4 raw-log projection: IP masking + per-column truncation
-    * (db/mysqldb.go:161-238). Masked UA keeps the LAST 100 chars
-    * (mysqldb.go:208/:232-238); other columns keep the first N.
+  /** R4 raw-log projection: IP masking + per-column truncation, constants
+    * exactly as the reference's ReduceToMaxColumnLen calls
+    * (db/mysqldb.go:161-238): remote_user/path3/request_uri/referer/ua 100,
+    * http_method and the five UA classification columns 20. Masked UA keeps
+    * the LAST 100 chars (mysqldb.go:208/:232-238); everything else keeps the
+    * first N. path3 falls back path3→path2→path1 and stays empty when all
+    * are empty (mysqldb.go:176-182). host_id mirrors the sbo_rawlogs column
+    * (mysqldb.go:162-165).
     */
-  def rawLogProjection(parsed: DataFrame, maskIps: Boolean): DataFrame = {
+  def rawLogProjection(parsed: DataFrame, maskIps: Boolean, hostId: Int = 0): DataFrame = {
     val ip = if (maskIps) lit(null).cast("string") else col("client_ip")
     val uaTrunc = if (maskIps)
       when(length(col("ua_full")) > 100, substring(col("ua_full"), -100, 100)).otherwise(col("ua_full"))
     else substring(col("ua_full"), 0, 100)
+    def t20(c: String) = substring(col(c), 0, 20).as(c)
     parsed.select(
       col("conv_id"), col("turn_idx"),
+      lit(hostId).as("host_id"),
       col("log_ts").as("request_ts"),
       ip.as("client_ip"),
       substring(col("remote_user"), 0, 100).as("remote_user"),
-      substring(col("method"), 0, 10).as("http_method"),
-      coalesce(nullif(col("path3"), lit("")), nullif(col("path2"), lit("")), nullif(col("path1"), lit("")), col("path")).as("path3"),
-      substring(col("path"), 0, 500).as("request_uri"),
+      substring(col("method"), 0, 20).as("http_method"),
+      substring(coalesce(nullif(col("path3"), lit("")), nullif(col("path2"), lit("")),
+        nullif(col("path1"), lit("")), lit("")), 0, 100).as("path3"),
+      substring(col("path"), 0, 100).as("request_uri"),
       col("status").as("http_status"),
       col("bytes_sent"),
       substring(col("referer"), 0, 100).as("referer"),
       col("malicious").as("is_malicious"),
       uaTrunc.as("ua_string"),
-      col("ua_os"), col("ua_family"), col("ua_device_type"), col("ua_human"), col("ua_intent"))
+      t20("ua_os"), t20("ua_family"), t20("ua_device_type"), t20("ua_human"), t20("ua_intent"))
   }
 
   /** content-stable partition column: event-time day bucket */
   private def dayBucket = coalesce(
-    date_format(expr("timestampadd(SECOND, tz_offset_sec, log_ts)"), "yyyyMMdd"),
+    date_format(ParseStage.localTs(col("log_ts"), col("tz_offset_sec")), "yyyyMMdd"),
     lit("00010101"))
 
   /** Multi-sink fan-out with per-partition lineage manifest + resume.
@@ -140,13 +151,22 @@ object Route {
     */
   def fanOutWithLineage(routed: DataFrame, outDir: String, partitions: Int): String = {
     val manifestPath = Paths.get(outDir, "_lineage", "manifest.json")
-    // input fingerprint: count + order-insensitive checksum over stable keys
-    val fp = routed
+    // ONE stats pass: per-(sink, bucket) rows/checksum/min/max, collected as
+    // a bounded (sinks × day-buckets) result. The global input fingerprint
+    // folds out of the same rows — bit_xor is associative, so the xor of the
+    // per-group checksums IS the whole-input checksum. Total input scans: 2
+    // (this aggregate + the write), down from 3.
+    val groups = routed
+      .groupBy(col("sink"), dayBucket.as("bucket"))
       .agg(
         count(lit(1)).as("rows"),
-        coalesce(expr("bit_xor(xxhash64(conv_id, turn_idx, text))"), lit(0L)).as("checksum"))
-      .collect()(0)
-    val fpJson = s"""{"rows":${fp.getLong(0)},"checksum":${fp.getLong(1)}}"""
+        coalesce(expr("bit_xor(xxhash64(conv_id, turn_idx, text))"), lit(0L)).as("checksum"),
+        min(col("turn_idx")).as("min_turn"),
+        max(col("turn_idx")).as("max_turn"))
+      .collect()
+    val totalRows = groups.map(_.getLong(2)).sum
+    val totalChecksum = groups.map(_.getLong(3)).foldLeft(0L)(_ ^ _)
+    val fpJson = s"""{"rows":$totalRows,"checksum":$totalChecksum}"""
 
     if (Files.exists(manifestPath)) {
       val existing = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
@@ -158,14 +178,7 @@ object Route {
       .partitionBy("sink", "bucket")
       .parquet(outDir + "/data")
 
-    val perPartition = routed
-      .groupBy(col("sink"), dayBucket.as("bucket"))
-      .agg(
-        count(lit(1)).as("rows"),
-        coalesce(expr("bit_xor(xxhash64(conv_id, turn_idx, text))"), lit(0L)).as("checksum"),
-        min(col("turn_idx")).as("min_turn"),
-        max(col("turn_idx")).as("max_turn"))
-      .collect()
+    val perPartition = groups
       .map(r => s"""{"sink":"${r.getString(0)}","bucket":"${r.getString(1)}","rows":${r.getLong(2)},"checksum":${r.getLong(3)},"min_turn":${r.getInt(4)},"max_turn":${r.getInt(5)}}""")
       .sorted
       .mkString("[", ",", "]")

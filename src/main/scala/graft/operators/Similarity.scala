@@ -1,18 +1,20 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
   *
   * - bruteTopK: exact baseline — broadcast the (small) query set against the
-  *   corpus, one pass, per-query top-k via window. At scale the corpus side
-  *   stays partition-parallel and nothing shuffles except k rows per query
-  *   per partition (partial top-k would be the next refinement).
+  *   corpus, one scoring pass, then a TWO-STAGE top-k: per-partition bounded
+  *   heaps (TopK.topCands, a partial ObjectHashAggregate) reduce each
+  *   partition to ≤k rows per query before the exchange, the final stage
+  *   merges. No single task ever holds all scored (query, candidate) rows.
   * - lshTopK: the scale path — random-hyperplane signatures bucket the
-  *   corpus; queries probe their own bucket (+ multiprobe neighbors), so each
-  *   query scores only a fraction of the corpus.
+  *   corpus; queries probe their own buckets, so each query scores only a
+  *   fraction of the corpus. Candidate dedup across tables runs on ID PAIRS
+  *   only; embeddings are re-joined after the distinct so the exchanges
+  *   carry 16 bytes per row, not 64-float vectors (~16× less shuffle).
   */
 object Similarity {
 
@@ -45,54 +47,71 @@ object Similarity {
   private def sigsUdf(planes: Int, tables: Int) =
     udf((v: Seq[Float]) => tableSigs(v, planes, tables))
 
+  /** final top-k over scored (query_id, neighbor_id, cosine) rows via the
+    * two-stage bounded-heap aggregate; emits (query_id, rank, neighbor_id,
+    * cosine) sorted best-first per query
+    */
+  def topK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(TopK.topCands(k)(col("neighbor_id"), col("cosine")).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("pos", "n")))
+      .select(
+        col("query_id"),
+        (col("pos") + 1).cast("int").as("rank"),
+        col("n.neighbor_id").as("neighbor_id"),
+        col("n.cosine").as("cosine"))
+
   /** exact cosine top-k neighbors for each query vector (excluding self). */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
     val scored = q.join(c, col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", Dedup.cosineCol(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosineCol(col("q_emb"), col("c_emb")).as("cosine"))
+    topK(scored, k)
   }
 
   /** LSH-bucketed ANN: L independent hyperplane tables, candidates = union
     * of same-bucket hits across tables (single equi-join on the encoded
-    * (table, bucket) key), then exact rescoring of candidates only.
+    * (table, bucket) key), dedup on id pairs, then exact rescoring of
+    * candidates only.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       planes: Int = 5, tables: Int = 16): DataFrame = {
     val su = sigsUdf(planes, tables)
-    val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"),
-      explode(su(col("embedding"))).as("sig"))
-    val q = queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-      explode(su(col("embedding"))).as("sig"))
-    val scored = broadcast(q).join(c, Seq("sig"))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), explode(su(col("embedding"))).as("sig"))
+    val q = queries.select(col("vec_id").as("query_id"), explode(su(col("embedding"))).as("sig"))
+    val cand = broadcast(q).join(c, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "q_emb", "neighbor_id", "c_emb")
-      .distinct() // union over tables
-      .withColumn("cosine", Dedup.cosineCol(col("q_emb"), col("c_emb")))
-    val w = Window.partitionBy(col("query_id")).orderBy(col("cosine").desc, col("neighbor_id").asc)
-    scored
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "neighbor_id", "cosine")
+      .select("query_id", "neighbor_id")
+      .distinct() // union over tables — ids only, no vectors on the exchange
+    val scored = cand
+      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+        Seq("query_id"))
+      .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
+        Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosineCol(col("q_emb"), col("c_emb")).as("cosine"))
+    topK(scored, k)
   }
 
   /** LSH near-dup pairs over embeddings (the scale path for
-    * Dedup.embeddingNearDups): bucket join instead of cross join.
+    * Dedup.embeddingNearDups): bucket join instead of cross join; the
+    * cross-table dedup shuffles (a_id, b_id) pairs only, embeddings are
+    * fetched back by id for the exact rescoring filter.
     */
   def lshNearDups(emb: DataFrame, threshold: Double,
       planes: Int = 5, tables: Int = 16): DataFrame = {
     val su = sigsUdf(planes, tables)
-    val sigs = emb.select(col("vec_id"), col("embedding"), explode(su(col("embedding"))).as("sig"))
-    sigs.alias("a")
+    val sigs = emb.select(col("vec_id"), explode(su(col("embedding"))).as("sig"))
+    val cand = sigs.alias("a")
       .join(sigs.alias("b"), col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"),
-        col("a.embedding").as("a_emb"), col("b.embedding").as("b_emb"))
+      .select(col("a.vec_id").as("a_id"), col("b.vec_id").as("b_id"))
       .distinct()
+    cand
+      .join(emb.select(col("vec_id").as("a_id"), col("embedding").as("a_emb")), Seq("a_id"))
+      .join(emb.select(col("vec_id").as("b_id"), col("embedding").as("b_emb")), Seq("b_id"))
       .withColumn("cosine", Dedup.cosineCol(col("a_emb"), col("b_emb")))
       .filter(col("cosine") >= threshold)
       .select(col("a_id"), col("b_id"), col("cosine"))

@@ -55,6 +55,26 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(p.contains("partial_sum") || p.contains("HashAggregate"))
   }
 
+  test("a4: top-N plans TakeOrderedAndProject (distributed partial top-N), not a global window sort") {
+    val p = plan("a4_topn_paths")
+    assert(p.contains("TakeOrderedAndProject"), p.take(800))
+  }
+
+  test("dedup_embedding registered plan is the LSH bucket join — no cartesian/nested-loop") {
+    val p = plan("dedup_embedding")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
+  test("ann top-k is a two-stage bounded-heap aggregate, not a per-query window funnel") {
+    Seq("ann_topk", "ann_lsh").foreach { q =>
+      val p = plan(q)
+      val objAggs = "ObjectHashAggregate".r.findAllIn(p).length
+      assert(objAggs >= 2, s"$q: expected partial+final ObjectHashAggregate, plan:\n${p.take(800)}")
+      assert(!p.contains("Window"), s"$q must not single-task per-query rows")
+    }
+  }
+
   test("salted fan-out exchanges on (conv_id, salt) and sorts within partitions") {
     import org.apache.spark.sql.functions._
     val parsed = ParseStage.parse(graft.sources.Tables.transcripts(spark, sf)).limit(10)
