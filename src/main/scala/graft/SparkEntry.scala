@@ -187,6 +187,10 @@ object SparkEntry {
     "p1_quirk_drop" -> ((s, d) => ParseStage.parse(Tables.transcripts(s, d), quirk = true)
       .groupBy(col("format")).agg(count(lit(1)).as("n"), sum("bytes_sent").as("bytes"))),
 
+    // S5: the uptime/free parsers over the reference's own pinned fixtures
+    // (os_metrics.go:69-160, os_metrics_test.go:64-175)
+    "s5_os_metrics" -> ((s, _) => graft.metrics.OsMetrics.fixtureMetricsDf(s)),
+
     "j1_enrich" -> ((s, d) => {
       val e = Enrich.withRoleToolIds(parsed(s, d))
       e.groupBy("role", "role_id", "tool", "tool_id").agg(count(lit(1)).as("cnt"))
@@ -413,6 +417,36 @@ object SparkEntry {
         """SELECT fmt AS format, count(*) AS n, CAST(sum(bytes_sent) AS BIGINT) AS bytes
           |FROM (SELECT *, min(turn_idx) OVER (PARTITION BY conv_id) AS _det FROM parsed)
           |WHERE turn_idx <> _det GROUP BY 1""".stripMargin),
+
+      // expected values derived BY HAND from the reference semantics, the
+      // same numbers its own tests assert (os_metrics_test.go:64-175) —
+      // e.g. macos up = 13*24*60 + 13*60 + 27 = 19527
+      "s5_os_metrics" ->
+        """SELECT * FROM (VALUES
+          |  ('macos', 'current_time', '12:13'),
+          |  ('macos', 'up_minutes', '19527'),
+          |  ('macos', 'users', '11'),
+          |  ('macos', 'load1', '1.25'),
+          |  ('macos', 'load5', '1.50'),
+          |  ('macos', 'load15', '1.52'),
+          |  ('ubuntu', 'current_time', '09:18:58'),
+          |  ('ubuntu', 'up_minutes', '49835'),
+          |  ('ubuntu', 'users', '2'),
+          |  ('ubuntu', 'load1', '0.04'),
+          |  ('ubuntu', 'load5', '0.03'),
+          |  ('ubuntu', 'load15', '0.00'),
+          |  ('ubuntu_fresh', 'current_time', '09:18:58'),
+          |  ('ubuntu_fresh', 'up_minutes', '875'),
+          |  ('ubuntu_fresh', 'users', '2'),
+          |  ('ubuntu_fresh', 'load1', '0.04'),
+          |  ('ubuntu_fresh', 'load5', '0.03'),
+          |  ('ubuntu_fresh', 'load15', '0.00'),
+          |  ('free', 'swap_use', '0'),
+          |  ('free', 'cach_use', '2163520'),
+          |  ('free', 'mem_use', '1142280'),
+          |  ('free', 'mem_free', '5147464'),
+          |  ('free', 'mem_available', '6989632')
+          |) AS t(fixture, metric, value)""".stripMargin,
 
       "j1_enrich" -> W(
         """, role_dim AS (

@@ -14,6 +14,7 @@ import graft.sources.{Tables, TranscriptGen}
 final case class JobConfig(
     handlers: Seq[String] = Seq("COUNTER", "METRICS", "WRITE_TO_FILE"),
     domainName: String = TranscriptGen.defaultDomain, // J2 fallback
+    hostId: Int = 0, // sbo_rawlogs host_id (mysqldb.go:162-165)
     timeWindowSizeMinutes: Int = 10, // A7 (metricgenerator.go:131-158)
     metricsWindowSize: Int = 3, // A8 state width 2-10 (main.go:388-397)
     replaceExistingMetrics: Boolean = true, // R3 upsert mode
@@ -24,8 +25,12 @@ final case class JobConfig(
     arrivalOrderMetrics: Boolean = false) // exact A8 semantics vs batch sums
 
 object JobConfig {
-  /** tiny flat-JSON loader (no external deps): {"key": value, ...} */
-  def fromJson(json: String): JobConfig = {
+  /** tiny flat-JSON loader (no external deps): {"key": value, ...}.
+    * Fields absent from the JSON fall back to `base` — the per-field
+    * presence semantics the reference tracks via its `*_ok` flags
+    * (main.go:405-475): present-but-empty stays empty, absent inherits.
+    */
+  def fromJson(json: String, base: JobConfig = JobConfig()): JobConfig = {
     def str(k: String): Option[String] =
       ("\"" + k + "\"\\s*:\\s*\"([^\"]*)\"").r.findFirstMatchIn(json).map(_.group(1))
     def num(k: String): Option[Int] =
@@ -35,18 +40,88 @@ object JobConfig {
     def arr(k: String): Option[Seq[String]] =
       ("\"" + k + "\"\\s*:\\s*\\[([^\\]]*)\\]").r.findFirstMatchIn(json)
         .map(_.group(1).split(",").map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty).toSeq)
-    val d = JobConfig()
     JobConfig(
-      handlers = arr("Handlers").getOrElse(d.handlers),
-      domainName = str("DomainName").getOrElse(d.domainName),
-      timeWindowSizeMinutes = num("TimeWindowSizeMinutes").getOrElse(d.timeWindowSizeMinutes),
-      metricsWindowSize = num("MetricsWindowSize").getOrElse(d.metricsWindowSize),
-      replaceExistingMetrics = bool("ReplaceExistingMetrics").getOrElse(d.replaceExistingMetrics),
-      saveLogsToDbOnlyRelevant = bool("SaveLogsToDbOnlyRelevant").getOrElse(d.saveLogsToDbOnlyRelevant),
-      saveLogsToDbMaskIps = bool("SaveLogsToDbMaskIPs").getOrElse(d.saveLogsToDbMaskIps),
-      counterTopNForKeyedMetrics = num("CounterTopNForKeyedMetrics").getOrElse(d.counterTopNForKeyedMetrics),
-      startFrom = num("StartFrom").getOrElse(d.startFrom),
-      arrivalOrderMetrics = bool("ArrivalOrderMetrics").getOrElse(d.arrivalOrderMetrics))
+      handlers = arr("Handlers").getOrElse(base.handlers),
+      domainName = str("DomainName").getOrElse(base.domainName),
+      hostId = num("HostId").getOrElse(base.hostId),
+      timeWindowSizeMinutes = num("TimeWindowSizeMinutes").getOrElse(base.timeWindowSizeMinutes),
+      metricsWindowSize = num("MetricsWindowSize").getOrElse(base.metricsWindowSize),
+      replaceExistingMetrics = bool("ReplaceExistingMetrics").getOrElse(base.replaceExistingMetrics),
+      saveLogsToDbOnlyRelevant = bool("SaveLogsToDbOnlyRelevant").getOrElse(base.saveLogsToDbOnlyRelevant),
+      saveLogsToDbMaskIps = bool("SaveLogsToDbMaskIPs").getOrElse(base.saveLogsToDbMaskIps),
+      counterTopNForKeyedMetrics = num("CounterTopNForKeyedMetrics").getOrElse(base.counterTopNForKeyedMetrics),
+      startFrom = num("StartFrom").getOrElse(base.startFrom),
+      arrivalOrderMetrics = bool("ArrivalOrderMetrics").getOrElse(base.arrivalOrderMetrics))
+  }
+}
+
+/** The reference's multi-source config map (main.go:405-570): a JSON object
+  * of {sourcePath → per-source config}. The `--default--` entry supplies the
+  * value of every field a per-source entry does not explicitly set; the
+  * `--OS-metrics--` entry configures the metrics sampler and is not a
+  * source. Here a "source" is a transcripts table dir; multi-source = one
+  * Pipeline.run per entry (union-of-DataFrames is the cluster-side shape).
+  */
+object MultiJobConfig {
+  val DefaultKey = "--default--"
+  val OsMetricsKey = "--OS-metrics--"
+
+  /** split a top-level JSON object into (key, rawValue) pairs — a tiny
+    * depth/string-aware scanner, no external JSON dependency
+    */
+  private[app] def topLevelEntries(json: String): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = json.indexOf('{') + 1
+    def skipWs(): Unit = while (i < json.length && json.charAt(i).isWhitespace) i += 1
+    def readString(): String = { // at opening quote
+      val sb = new StringBuilder
+      i += 1
+      while (i < json.length && json.charAt(i) != '"') {
+        if (json.charAt(i) == '\\') { sb.append(json.charAt(i + 1)); i += 2 }
+        else { sb.append(json.charAt(i)); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    if (i == 0) return Seq.empty
+    while (i < json.length) {
+      skipWs()
+      if (i >= json.length || json.charAt(i) == '}') return out.result()
+      if (json.charAt(i) == ',') { i += 1 }
+      else if (json.charAt(i) == '"') {
+        val key = readString()
+        skipWs()
+        if (i < json.length && json.charAt(i) == ':') i += 1
+        skipWs()
+        val start = i
+        var depth = 0
+        var done = false
+        while (i < json.length && !done) {
+          json.charAt(i) match {
+            case '"' => readString(); i -= 1
+            case '{' | '[' => depth += 1
+            case '}' | ']' =>
+              if (depth == 0) done = true else depth -= 1
+            case ',' if depth == 0 => done = true
+            case _ =>
+          }
+          if (!done) i += 1
+        }
+        out += ((key, json.substring(start, i)))
+      } else i += 1
+    }
+    out.result()
+  }
+
+  /** source dir → merged config (default-filled), in declaration order */
+  def fromJson(json: String): Seq[(String, JobConfig)] = {
+    val entries = topLevelEntries(json)
+    val default = entries.collectFirst { case (DefaultKey, body) => JobConfig.fromJson(body) }
+      .getOrElse(JobConfig())
+    entries.collect {
+      case (k, body) if k != DefaultKey && k != OsMetricsKey =>
+        k -> JobConfig.fromJson(body, default)
+    }
   }
 }
 
@@ -93,17 +168,38 @@ object Pipeline {
       Sinks.writeJsonRelog(parsed, s"$outDir/relog")
     }
     Sinks.writeRawLogs(parsed, s"$outDir/rawlogs", cfg.saveLogsToDbMaskIps,
-      cfg.saveLogsToDbOnlyRelevant)
+      cfg.saveLogsToDbOnlyRelevant, cfg.hostId)
 
-    Result(manifest, report, parsed.count())
+    val rows = parsed.count()
+
+    // S5 analog: job-metrics snapshot next to the lineage manifest — rows
+    // processed plus a best-effort host sample through the reference's
+    // uptime/free parsers (os_metrics.go; scheduler main.go:102-202)
+    val (up, mem) = graft.metrics.OsMetrics.liveSnapshot()
+    val jm = s"""{"rows":$rows""" +
+      up.map(u => s""","up_minutes":${u.upDurationMinutes},"load1":"${u.load1}"""").getOrElse("") +
+      mem.map(m => s""","mem_use":${m.memUse},"mem_available":${m.memAvailable}""").getOrElse("") +
+      "}"
+    val mp = java.nio.file.Paths.get(outDir, "_metrics", "job_metrics.json")
+    java.nio.file.Files.createDirectories(mp.getParent)
+    java.nio.file.Files.writeString(mp, jm)
+
+    Result(manifest, report, rows)
   }
 
-  /** spark-submit entry: args = sfDir outDir [configJsonPath] */
+  /** spark-submit entry: args = sfDir outDir [configJsonPath]. A config
+    * containing a `--default--` entry is the reference's multi-source map:
+    * each non-special key is a source dir run with its merged config
+    * (outputs land under outDir/<basename>).
+    */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val outDir = if (args.length > 1) args(1) else "/tmp/graft-pipeline"
-    val cfg = if (args.length > 2)
-      JobConfig.fromJson(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(2)))))
+    val rawCfg = if (args.length > 2)
+      Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(2)))))
+    else None
+    val multi = rawCfg.filter(_.contains(s""""${MultiJobConfig.DefaultKey}""""))
+    val cfg = if (multi.isEmpty) rawCfg.map(JobConfig.fromJson(_)).getOrElse(JobConfig())
     else JobConfig()
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", "local[32]"))
@@ -113,9 +209,19 @@ object Pipeline {
       .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val r = run(spark, sfDir, outDir, cfg)
-    println(r.report)
-    println(s"[pipeline] rows=${r.rows} manifest=${r.manifest.take(200)}...")
+    multi match {
+      case Some(json) =>
+        MultiJobConfig.fromJson(json).foreach { case (srcDir, c) =>
+          val name = java.nio.file.Paths.get(srcDir).getFileName.toString
+          val r = run(spark, srcDir, s"$outDir/$name", c)
+          println(r.report)
+          println(s"[pipeline] source=$srcDir rows=${r.rows}")
+        }
+      case None =>
+        val r = run(spark, sfDir, outDir, cfg)
+        println(r.report)
+        println(s"[pipeline] rows=${r.rows} manifest=${r.manifest.take(200)}...")
+    }
     spark.stop()
   }
 }

@@ -33,9 +33,9 @@ object Sinks {
     * and truncation via Route.rawLogProjection.
     */
   def writeRawLogs(parsed: DataFrame, outDir: String, maskIps: Boolean,
-      onlyRelevant: Boolean = true): Unit = {
+      onlyRelevant: Boolean = true, hostId: Int = 0): Unit = {
     val rows = if (onlyRelevant) parsed.filter(Route.isRelevant) else parsed
-    Route.rawLogProjection(rows, maskIps)
+    Route.rawLogProjection(rows, maskIps, hostId)
       .withColumn("log_date", date_format(col("request_ts"), "yyyyMMdd"))
       .write.mode(SaveMode.Overwrite)
       .partitionBy("log_date")

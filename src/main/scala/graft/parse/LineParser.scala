@@ -46,9 +46,14 @@ object LineParser {
   private val reXss = Pattern.compile("<script|script>|alert|onmouseover|onmouseout")
   private val reSqlInj = Pattern.compile("'.*(insert|update|exec|execute)")
 
-  // Go layout "02/Jan/2006:15:04:05 -0700" — httpservers.go:322/:332
-  private val tsFormat = DateTimeFormatter
-    .ofPattern("dd/MMM/uuuu:HH:mm:ss Z", Locale.ENGLISH)
+  // Go layout "02/Jan/2006:15:04:05 -0700" — httpservers.go:322/:332.
+  // Go time.Parse matches month names byte-wise case-insensitively
+  // ("10/OCT/2000:…" parses), so the formatter is case-insensitive and the
+  // fast path folds the month key before lookup.
+  private val tsFormat = new java.time.format.DateTimeFormatterBuilder()
+    .parseCaseInsensitive()
+    .appendPattern("dd/MMM/uuuu:HH:mm:ss Z")
+    .toFormatter(Locale.ENGLISH)
     .withResolverStyle(ResolverStyle.STRICT)
 
   private val monthIdx: java.util.Map[String, Integer] = {
@@ -56,6 +61,14 @@ object LineParser {
     Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug", "Sep", "Oct", "Nov", "Dec")
       .zipWithIndex.foreach { case (n, i) => m.put(n, i + 1) }
     m
+  }
+
+  /** ASCII case-fold to the canonical Jan/Feb/... key (Go folds per byte) */
+  private def monthKey(s: String, from: Int): String = {
+    val c0 = Character.toUpperCase(s.charAt(from))
+    val c1 = Character.toLowerCase(s.charAt(from + 1))
+    val c2 = Character.toLowerCase(s.charAt(from + 2))
+    new String(Array(c0, c1, c2))
   }
 
   private def dig(c: Char): Int = if (c >= '0' && c <= '9') c - '0' else -1000
@@ -69,7 +82,7 @@ object LineParser {
       s.charAt(11) == ':' && s.charAt(14) == ':' && s.charAt(17) == ':' &&
       s.charAt(20) == ' ' && (s.charAt(21) == '+' || s.charAt(21) == '-')) {
       val day = dig(s.charAt(0)) * 10 + dig(s.charAt(1))
-      val mon = monthIdx.get(s.substring(3, 6))
+      val mon = monthIdx.get(monthKey(s, 3))
       val year = dig(s.charAt(7)) * 1000 + dig(s.charAt(8)) * 100 + dig(s.charAt(9)) * 10 + dig(s.charAt(10))
       val hh = dig(s.charAt(12)) * 10 + dig(s.charAt(13))
       val mm = dig(s.charAt(15)) * 10 + dig(s.charAt(16))

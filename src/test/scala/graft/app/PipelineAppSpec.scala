@@ -115,6 +115,30 @@ class PipelineAppSpec extends AnyFunSuite with SparkTestBase {
     assert(!noDelta.contains("(+"))
   }
 
+  test("multi-source config map: --default-- fills only absent fields (main.go:476-570)") {
+    val json =
+      """{
+        |  "--default--": {"Handlers": ["COUNTER"], "HostId": 7, "TimeWindowSizeMinutes": 5, "SaveLogsToDbMaskIPs": true},
+        |  "/var/log/a": {"TimeWindowSizeMinutes": 15},
+        |  "/var/log/b": {"Handlers": [], "HostId": 9},
+        |  "--OS-metrics--": {"HostId": 3}
+        |}""".stripMargin
+    val m = MultiJobConfig.fromJson(json)
+    assert(m.map(_._1) == Seq("/var/log/a", "/var/log/b")) // special keys excluded, order kept
+    val a = m.toMap.apply("/var/log/a")
+    assert(a.handlers == Seq("COUNTER")) // inherited from --default--
+    assert(a.hostId == 7) // inherited
+    assert(a.timeWindowSizeMinutes == 15) // own value wins
+    assert(a.saveLogsToDbMaskIps) // inherited
+    val b = m.toMap.apply("/var/log/b")
+    assert(b.handlers.isEmpty) // present-but-empty stays empty (Handlers_ok=true)
+    assert(b.hostId == 9)
+    assert(b.timeWindowSizeMinutes == 5) // inherited
+    // no --default-- entry → per-source entries parse standalone
+    val solo = MultiJobConfig.fromJson("""{"/var/log/c": {"HostId": 2}}""")
+    assert(solo.head._2.hostId == 2 && solo.head._2.timeWindowSizeMinutes == 10)
+  }
+
   test("masked raw logs null the IP and keep the LAST 100 UA chars (mysqldb.go:208)") {
     import spark.implicits._
     val longUa = "curl " + ("x" * 150) + "END-OF-UA" // > 100 chars, not matching script regexes? 'curl' matches... keep simple

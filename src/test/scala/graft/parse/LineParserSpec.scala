@@ -150,6 +150,10 @@ class LineParserSpec extends AnyFunSuite {
     assert(parseTimestamp("10/Oct/2000:13:55:36").isEmpty)
     assert(parseTimestamp("32/Oct/2000:13:55:36 +0000").isEmpty)
     assert(parseTimestamp("5/Oct/2000:13:55:36 +0000").isEmpty) // Go "02" needs 2 digits
+    // Go time.Parse folds month-name case per byte: OCT/oct/oCt all parse
+    assert(parseTimestamp("10/OCT/2000:13:55:36 -0700") == parseTimestamp("10/Oct/2000:13:55:36 -0700"))
+    assert(parseTimestamp("10/oct/2000:13:55:36 -0700").nonEmpty)
+    assert(parseTimestamp("10/oCt/2000:13:55:36 -0700").nonEmpty)
   }
 
   test("robots.txt override applied through full parse") {
