@@ -37,6 +37,17 @@ object CounterReport {
     Snapshot(totals, keyed)
   }
 
+  /** fold two snapshots (streaming ticks accumulate micro-batches) */
+  def merge(a: Snapshot, b: Snapshot): Snapshot = Snapshot(
+    totals = (a.totals.keySet ++ b.totals.keySet).iterator
+      .map(k => k -> (a.totals.getOrElse(k, 0L) + b.totals.getOrElse(k, 0L))).toMap,
+    keyed = (a.keyed.keySet ++ b.keyed.keySet).iterator.map { d =>
+      val ma = a.keyed.getOrElse(d, Map.empty[String, Long])
+      val mb = b.keyed.getOrElse(d, Map.empty[String, Long])
+      d -> (ma.keySet ++ mb.keySet).iterator
+        .map(k => k -> (ma.getOrElse(k, 0L) + mb.getOrElse(k, 0L))).toMap
+    }.toMap)
+
   private def clampLabel(s: String): String = {
     val shown = if (s.isEmpty) "-not set-" else s
     val w = math.max(10, math.min(15, shown.length))

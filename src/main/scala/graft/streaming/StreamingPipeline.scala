@@ -37,6 +37,27 @@ object StreamingPipeline {
       .select(col("window.start").as("window_start"), col("status"), col("cnt"), col("bytes"))
   }
 
+  /** A3 processing-time counter tick in streaming mode (counter.go:241-253):
+    * each micro-batch folds into a running snapshot held on the driver (the
+    * reference holds its counters in process memory the same way), and a
+    * report with (+delta) vs the PREVIOUS tick is emitted per batch — the
+    * CounterValue.PreviousValue snapshot semantics (counter.go:49-56).
+    * Returns the started query; stop it to end ticking.
+    */
+  def counterTicks(stream: DataFrame, onReport: String => Unit,
+      topN: Int = 10): org.apache.spark.sql.streaming.StreamingQuery = {
+    var acc: Option[graft.app.CounterReport.Snapshot] = None
+    stream.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val snap = graft.app.CounterReport.snapshot(ParseStage.parse(batch))
+        val merged = acc.map(a => graft.app.CounterReport.merge(a, snap)).getOrElse(snap)
+        onReport(graft.app.CounterReport.format(merged, acc, topN))
+        acc = Some(merged)
+      }
+      .start()
+  }
+
   final case class ConvProgress(conv_id: String, turns: Long, maxTurnIdx: Int)
 
   /** custom per-conversation state via mapGroupsWithState — the per-file

@@ -173,4 +173,21 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(files1 == files2)
     assert(m1.contains("\"sink\":\"relevant\""))
   }
+
+  test("lineage fan-out reads the input at most twice (stats pass + write)") {
+    val executed = new java.util.concurrent.atomic.AtomicInteger()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        executed.incrementAndGet()
+      def onFailure(funcName: String, qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val dir = java.nio.file.Files.createTempDirectory("graft-lineage2").toString
+      Route.fanOutWithLineage(Route.withSink(parsedDf), dir, partitions = 8)
+      Thread.sleep(500) // listener events are posted asynchronously
+      // one collect (stats+fingerprint folded together) + one write
+      assert(executed.get <= 2, s"expected <=2 executions over the input, got ${executed.get}")
+    } finally spark.listenerManager.unregister(listener)
+  }
 }

@@ -37,6 +37,27 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(streamed == batch)
   }
 
+  test("streaming counter ticks: deltas per batch, final snapshot equals the batch counter (A3)") {
+    import graft.app.CounterReport
+    val stream = spark.readStream.schema(StreamingPipeline.transcriptSchema)
+      .option("maxFilesPerTrigger", "1") // force multiple micro-batches = multiple ticks
+      .parquet(dir)
+    val reports = scala.collection.mutable.ArrayBuffer.empty[String]
+    val q = StreamingPipeline.counterTicks(stream, r => reports.synchronized { reports += r })
+    try q.processAllAvailable() finally q.stop()
+    assert(reports.length > 1, "expected several ticks (one per micro-batch)")
+    assert(!reports.head.contains("(+")) // first tick has no previous snapshot
+    assert(reports.tail.exists(_.contains("(+"))) // later ticks render deltas
+    // the last tick's cumulative totals == the one-shot batch snapshot
+    val batchSnap = CounterReport.snapshot(
+      ParseStage.parse(spark.read.parquet(dir)))
+    val lastNoDelta = CounterReport.format(batchSnap, None)
+    val lastTickTotals = reports.last.linesIterator
+      .filter(_.startsWith("Total")).map(_.replaceAll("""\s*\(\+?-?\d+\)""", "")).toSeq
+    val batchTotals = lastNoDelta.linesIterator.filter(_.startsWith("Total")).toSeq
+    assert(lastTickTotals.map(_.trim) == batchTotals.map(_.trim))
+  }
+
   test("stateful conversation progress tracks every conversation") {
     val stream = StreamingPipeline.readTranscriptStream(spark, dir)
     val q = StreamingPipeline.conversationProgress(spark, stream)
