@@ -163,6 +163,7 @@ object Bench {
       "dedup_embedding" -> SparkEntry.queries("dedup_embedding"),
       "ann_topk" -> SparkEntry.queries("ann_topk"),
       "ann_lsh" -> SparkEntry.queries("ann_lsh"),
+      "ann_ivf" -> SparkEntry.queries("ann_ivf"),
       "text_langid" -> SparkEntry.queries("text_langid"),
       "text_quality" -> SparkEntry.queries("text_quality"),
       "text_tokens" -> SparkEntry.queries("text_tokens"),

@@ -228,6 +228,13 @@ object SparkEntry {
       Similarity.lshTopK(emb, emb.filter(col("vec_id") < 8), 10).select("query_id", "neighbor_id")
     }),
 
+    // IVF variant: coarse-quantizer buckets + nprobe probing, the second
+    // scale path the training-data brief names alongside LSH
+    "ann_ivf" -> ((s, d) => {
+      val emb = t(s, d)("embeddings")
+      Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 10).select("query_id", "neighbor_id")
+    }),
+
     // ------------------------------------------------------- text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d)("documents"))),
 
@@ -516,6 +523,29 @@ object SparkEntry {
            |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
            |  FROM s q JOIN s c ON q.sig = c.sig AND q.vec_id <> c.vec_id
            |  WHERE q.vec_id < 8
+           |)
+           |SELECT query_id, neighbor_id FROM (
+           |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id
+           |    ORDER BY list_cosine_similarity(qe.embedding, ce.embedding) DESC, neighbor_id ASC) AS rk
+           |  FROM cand JOIN embeddings qe ON qe.vec_id = query_id
+           |  JOIN embeddings ce ON ce.vec_id = neighbor_id
+           |) WHERE rk <= 10""".stripMargin,
+
+      // centroids pinned at synth time; DuckDB independently re-derives the
+      // assignment (argmin over centroids), the probe sets, and the
+      // rescored top-k — the whole distributed part of IVF
+      "ann_ivf" ->
+        s"""WITH cents AS (SELECT * FROM read_parquet('${OracleSql.ivfCentroidsGlob}')),
+           |ca AS (
+           |  SELECT e.vec_id, c.cent_id, row_number() OVER (PARTITION BY e.vec_id
+           |    ORDER BY list_cosine_similarity(c.embedding, e.embedding) DESC, c.cent_id ASC) AS rk
+           |  FROM embeddings e CROSS JOIN cents c
+           |),
+           |assigned AS (SELECT vec_id, cent_id FROM ca WHERE rk = 1),
+           |probes AS (SELECT vec_id, cent_id FROM ca WHERE rk <= 4 AND vec_id < 8),
+           |cand AS (
+           |  SELECT p.vec_id AS query_id, a.vec_id AS neighbor_id
+           |  FROM probes p JOIN assigned a ON p.cent_id = a.cent_id AND p.vec_id <> a.vec_id
            |)
            |SELECT query_id, neighbor_id FROM (
            |  SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id

@@ -176,6 +176,7 @@ object OracleSql {
   val docSigsGlob = s"$sigsRoot/doc_sigs/*.parquet"
   val minhashBandsGlob = s"$sigsRoot/minhash_bands/*.parquet"
   val embSigsGlob = s"$sigsRoot/emb_sigs/*.parquet"
+  val ivfCentroidsGlob = s"$sigsRoot/ivf_centroids/*.parquet"
 
   /** the A2 keyed-count unpivot in SQL, generated from the same dim table
     * the engine uses (Aggregates.counterDims) so the two cannot drift

@@ -169,13 +169,22 @@ object Dedup {
   }
 
   // ---------------------------------------------------- embedding near-dup
-  /** Cosine similarity of two float vectors. A compiled UDF over primitive
-    * float arrays: ~40x faster than the higher-order `zip_with`/`aggregate`
-    * expressions, which interpret a lambda per element (measured: 60s → 1.5s
-    * for 2M 64-dim pairs at local[32]). Same arithmetic order (float
-    * products, double accumulation), so results are bit-identical.
+  /** Cosine similarity of two float vectors — a native codegen'd Catalyst
+    * expression (graft.functions.CosineSimilarity) reading ArrayData in
+    * place inside the fused stage. History of this operator, all measured:
+    * higher-order `zip_with`/`aggregate` interpret a lambda per element
+    * (60s for 2M 64-dim pairs); a compiled UDF over primitive arrays is
+    * ~40x faster (1.5s) but converts ArrayData→Array[Float] per call and
+    * breaks whole-stage codegen at its boundary; the native expression
+    * removes both. All three share the same arithmetic order (float
+    * products, double accumulation), so results are bit-identical — pinned
+    * by TrainingOpsSpec against the UDF kept below for the cross-check.
     */
-  private val cosineUdf = udf { (a: Array[Float], b: Array[Float]) =>
+  def cosineCol(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine(a, b)
+
+  /** the UDF form, retained ONLY as the test-side cross-check */
+  private[graft] val cosineUdfForTest = udf { (a: Array[Float], b: Array[Float]) =>
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
     val n = math.min(a.length, b.length)
@@ -184,7 +193,6 @@ object Dedup {
     }
     dot / (math.sqrt(na) * math.sqrt(nb))
   }
-  def cosineCol(a: Column, b: Column): Column = cosineUdf(a, b)
 
   /** embedding-cosine near-duplicate pairs above a threshold. Brute force
     * O(n²) — correct baseline; the LSH-bucketed scale path is

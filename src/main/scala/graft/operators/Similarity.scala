@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column.
@@ -91,6 +91,89 @@ object Similarity {
         Seq("query_id"))
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
         Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        Dedup.cosineCol(col("q_emb"), col("c_emb")).as("cosine"))
+    topK(scored, k)
+  }
+
+  // --------------------------------------------------------------- IVF ANN
+  /** Deterministic Lloyd k-means for the IVF coarse quantizer. Trained on a
+    * driver-side sample in stable vec_id order — pure Scala arithmetic, so
+    * the centroids are bit-reproducible across sessions/partitionings (a
+    * distributed double-sum is not: partial-aggregation order varies). The
+    * sample-trained coarse quantizer is standard IVF practice; everything
+    * per-row (assignment, probing, rescoring) is distributed.
+    */
+  def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 4,
+      sampleLimit: Int = 100000): Array[Array[Float]] = {
+    val sample = emb.orderBy("vec_id").limit(sampleLimit)
+      .select("embedding").collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.length >= k, s"need >= $k vectors, got ${sample.length}")
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { dot += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val dim = sample(0).length
+    var cents = sample.take(k).map(_.clone)
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val counts = new Array[Long](k)
+      sample.foreach { v =>
+        var best = 0; var bs = -2.0; var c = 0
+        while (c < k) { val s = cos(cents(c), v); if (s > bs) { bs = s; best = c }; c += 1 }
+        counts(best) += 1
+        var d = 0
+        while (d < dim) { sums(best)(d) += v(d); d += 1 }
+      }
+      cents = Array.tabulate(k)(c =>
+        if (counts(c) == 0) cents(c) // empty cluster keeps its centroid
+        else Array.tabulate(dim)(d => (sums(c)(d) / counts(c)).toFloat))
+      it += 1
+    }
+    cents
+  }
+
+  /** argmax-cosine centroid id as a codegen'd column (k literal centroids,
+    * first-max-wins ties → lowest cent id, like the oracle's ORDER BY)
+    */
+  private def nearestCentCol(cents: Array[Array[Float]], v: Column): Column = {
+    val scored = cents.zipWithIndex.map { case (cv, i) =>
+      (lit(i), Dedup.cosineCol(typedlit(cv.toSeq), v))
+    }
+    scored.tail.foldLeft((scored.head._2, scored.head._1)) {
+      case ((bs, bi), (i, s)) =>
+        (when(s > bs, s).otherwise(bs), when(s > bs, i).otherwise(bi))
+    }._2
+  }
+
+  /** IVF ANN: corpus bucketed by nearest coarse centroid, each query probes
+    * its `nprobe` nearest centroids, exact rescoring + two-stage top-k on
+    * the probed buckets only. Each query scores ≈ nprobe/nlist of the
+    * corpus instead of all of it; the bucket join is a plain equi-join on
+    * a small int key.
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nlist: Int = 16, iters: Int = 4, nprobe: Int = 4): DataFrame = {
+    val cents = kmeansCentroids(corpus, nlist, iters)
+    val c = corpus
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
+      .withColumn("cent", nearestCentCol(cents, col("c_emb")))
+    // probe list: (−cos, cent) structs sorted lexicographically = cos desc,
+    // cent asc on ties — identical ordering to the oracle's window
+    val probeEntries = array(cents.zipWithIndex.map { case (cv, i) =>
+      struct((Dedup.cosineCol(typedlit(cv.toSeq), col("q_emb")) * -1).as("negs"),
+        lit(i).as("cent"))
+    }: _*)
+    val q = queries
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
+      .select(col("query_id"), col("q_emb"),
+        explode(slice(sort_array(probeEntries), 1, nprobe)).as("p"))
+      .select(col("query_id"), col("q_emb"), col("p.cent").as("cent"))
+    val scored = broadcast(q).join(c, Seq("cent"))
+      .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.cosineCol(col("q_emb"), col("c_emb")).as("cosine"))
     topK(scored, k)

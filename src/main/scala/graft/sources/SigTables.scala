@@ -27,6 +27,7 @@ object SigTables {
   def docSigsPath(sfDir: String): String = s"${root(sfDir)}/doc_sigs"
   def minhashBandsPath(sfDir: String): String = s"${root(sfDir)}/minhash_bands"
   def embSigsPath(sfDir: String): String = s"${root(sfDir)}/emb_sigs"
+  def ivfCentroidsPath(sfDir: String): String = s"${root(sfDir)}/ivf_centroids"
 
   /** doc_id, simhash, fingerprint, n_winnow, shingles (distinct, sorted),
     * media_type + n_bytes (the decode-stub outputs)
@@ -70,6 +71,16 @@ object SigTables {
     }.toDF("vec_id", "sig")
   }
 
+  /** cent_id, embedding — the deterministic IVF coarse centroids
+    * (Similarity.kmeansCentroids defaults)
+    */
+  def ivfCentroids(spark: SparkSession, emb: DataFrame): DataFrame = {
+    import spark.implicits._
+    Similarity.kmeansCentroids(emb).zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq.toDF("cent_id", "embedding")
+      .select(col("cent_id"), col("embedding").cast("array<float>").as("embedding"))
+  }
+
   /** Synthesize-on-first-use (idempotent, deterministic). */
   def ensure(spark: SparkSession, sfDir: String): Unit = {
     def write(path: String, df: => DataFrame): Unit =
@@ -78,5 +89,6 @@ object SigTables {
     write(docSigsPath(sfDir), docSigs(Tables.read(spark, sfDir, "documents")))
     write(minhashBandsPath(sfDir), minhashBands(Tables.read(spark, sfDir, "documents")))
     write(embSigsPath(sfDir), embSigs(Tables.read(spark, sfDir, "embeddings")))
+    write(ivfCentroidsPath(sfDir), ivfCentroids(spark, Tables.read(spark, sfDir, "embeddings")))
   }
 }

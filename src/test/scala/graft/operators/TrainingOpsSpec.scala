@@ -76,6 +76,39 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(lsh.subsetOf(brute)) // same exact cosine filter → no false positives
   }
 
+  test("ivf ann: deterministic centroids, decent recall, subset of probed buckets") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val c1 = Similarity.kmeansCentroids(emb)
+    val c2 = Similarity.kmeansCentroids(emb)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) }) // bit-reproducible
+    val exact = Similarity.bruteTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.intersect(ivf).size.toDouble / exact.size
+    assert(recall >= 0.4, s"ivf recall $recall") // nprobe/nlist = 1/4 of the corpus probed
+    assert(ivf.size <= exact.size)
+  }
+
+  test("native cosine expression is bit-identical to the UDF and codegen'd") {
+    import org.apache.spark.sql.functions.col
+    val pairs = emb.alias("a").join(emb.alias("b"), col("a.vec_id") < col("b.vec_id")).limit(5000)
+      .select(col("a.embedding").as("x"), col("b.embedding").as("y"))
+    val native = pairs.select(Dedup.cosineCol(col("x"), col("y"))).collect().map(_.getDouble(0))
+    val viaUdf = pairs.select(Dedup.cosineUdfForTest(col("x"), col("y"))).collect().map(_.getDouble(0))
+    assert(native.length == viaUdf.length && native.length > 0)
+    native.zip(viaUdf).foreach { case (n, u) =>
+      assert(java.lang.Double.doubleToRawLongBits(n) == java.lang.Double.doubleToRawLongBits(u))
+    }
+    // whole-stage codegen survives around the expression (no UDF boundary)
+    val df = pairs.select(Dedup.cosineCol(col("x"), col("y")).as("c")).filter(col("c") > -2)
+    df.collect()
+    assert(df.queryExecution.executedPlan.toString.contains("*("),
+      "expected whole-stage codegen span containing cosine_similarity")
+  }
+
   test("fingerprints are deterministic and text-sensitive") {
     val fp1 = TextAnalysis.fingerprints(docs.limit(50)).collect()
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
