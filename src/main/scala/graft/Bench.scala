@@ -170,14 +170,16 @@ object Bench {
       "text_fingerprint" -> SparkEntry.queries("text_fingerprint"),
       "mm_binary_meta" -> SparkEntry.queries("mm_binary_meta"))
 
-    // best of 2 runs per query: the first pays JIT/compile costs the second
-    // measures the steady-state plan; both full executions, nothing cached
+    // best of 3 runs per query: the first pays JIT/compile costs, the rest
+    // measure the steady-state plan; all full executions, nothing cached.
+    // Three samples (up from two) because this host's 5-20x noise bursts
+    // regularly poisoned one sample per query in driver runs.
     val results = headline.map { case (name, fn) =>
       def once = time {
         try fn(spark, sfDir).count()
         catch { case e: Throwable => System.err.println(s"[bench] $name failed: $e") }
       }
-      name -> math.min(once, once)
+      name -> Seq(once, once, once).min
     }
 
     // scaling: identical e2e job at 8 and 32 cores. The scaling input is a

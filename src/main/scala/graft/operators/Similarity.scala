@@ -136,18 +136,20 @@ object Similarity {
     cents
   }
 
-  /** argmax-cosine centroid id as a codegen'd column (k literal centroids,
-    * first-max-wins ties → lowest cent id, like the oracle's ORDER BY)
+  /** (−cos, cent) structs against every centroid — struct ordering makes
+    * min = best cosine, ties to the lowest cent id (the oracle's ORDER BY
+    * sim DESC, cent ASC). Each cosine is evaluated exactly ONCE inside one
+    * array constructor; a nested when()-chain argmax re-evaluates its
+    * subtree per level, which is 2^k cosines per row once the 64 KB codegen
+    * limit forces interpretation (measured: hung the sf0.1 bench).
     */
-  private def nearestCentCol(cents: Array[Array[Float]], v: Column): Column = {
-    val scored = cents.zipWithIndex.map { case (cv, i) =>
-      (lit(i), Dedup.cosineCol(typedlit(cv.toSeq), v))
-    }
-    scored.tail.foldLeft((scored.head._2, scored.head._1)) {
-      case ((bs, bi), (i, s)) =>
-        (when(s > bs, s).otherwise(bs), when(s > bs, i).otherwise(bi))
-    }._2
-  }
+  private def centEntries(cents: Array[Array[Float]], v: Column): Column =
+    array(cents.zipWithIndex.map { case (cv, i) =>
+      struct((Dedup.cosineCol(typedlit(cv.toSeq), v) * -1).as("negs"), lit(i).as("cent"))
+    }: _*)
+
+  private def nearestCentCol(cents: Array[Array[Float]], v: Column): Column =
+    array_min(centEntries(cents, v)).getField("cent")
 
   /** IVF ANN: corpus bucketed by nearest coarse centroid, each query probes
     * its `nprobe` nearest centroids, exact rescoring + two-stage top-k on
@@ -163,10 +165,7 @@ object Similarity {
       .withColumn("cent", nearestCentCol(cents, col("c_emb")))
     // probe list: (−cos, cent) structs sorted lexicographically = cos desc,
     // cent asc on ties — identical ordering to the oracle's window
-    val probeEntries = array(cents.zipWithIndex.map { case (cv, i) =>
-      struct((Dedup.cosineCol(typedlit(cv.toSeq), col("q_emb")) * -1).as("negs"),
-        lit(i).as("cent"))
-    }: _*)
+    val probeEntries = centEntries(cents, col("q_emb"))
     val q = queries
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
       .select(col("query_id"), col("q_emb"),
