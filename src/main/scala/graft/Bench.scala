@@ -113,23 +113,32 @@ object Bench {
       new Thread(() => {
         var k = 0L
         var i = t.toLong * per % burnLines.length
+        var sink = 0
         while (k < per) {
-          graft.parse.LineParser.parseAuto(burnLines(i.toInt))
+          // materialize the line from bytes first: the engine has to build
+          // every text String out of parquet buffers, and that allocation/
+          // copy is exactly the kind of bandwidth-bound work whose thread
+          // scaling is worse than pure parsing — a pooled-String baseline
+          // would omit a cost the job cannot avoid and overstate the ceiling
+          val line = new String(burnLines(i.toInt), java.nio.charset.StandardCharsets.UTF_8)
+          if (graft.parse.LineParser.parseAuto(line).isDefined) sink += 1
           i += 1; if (i >= burnLines.length) i = 0
           k += 1
         }
+        if (sink == -1) println("")
       })
     }
     threads.foreach(_.start()); threads.foreach(_.join())
     (System.nanoTime() - t0) / 1e9
   }
 
-  // 2M distinct lines (~400 MB of strings, well past LLC so the memory
-  // behavior matches the streaming scan), cycled to reach the target count
-  private lazy val burnLines: Array[String] = {
+  // 2M distinct lines (~400 MB, well past LLC so the memory behavior
+  // matches the streaming scan), cycled to reach the target count
+  private lazy val burnLines: Array[Array[Byte]] = {
     val n = 2000000
     val lay = TranscriptGen.layout(n.toLong)
-    Array.tabulate(n)(i => TranscriptGen.turn(i.toLong, lay).text)
+    Array.tabulate(n)(i =>
+      TranscriptGen.turn(i.toLong, lay).text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
   private def time(f: => Unit): Double = {
@@ -206,17 +215,25 @@ object Bench {
     rawParseBaseline(32, 2000000) // JIT + memo-cache warm-up, discarded
     def jobBlock(n: Int, runs: Int): Seq[Double] = {
       val s = session(n)
-      try {
-        time(pipelineE2E(s, scalingDir)) // warm-up: JIT + plan cache, discarded
-        (1 to runs).map(_ => time(pipelineE2E(s, scalingDir)))
-      } finally {
+      try (1 to runs).map(_ => time(pipelineE2E(s, scalingDir)))
+      finally {
         s.stop()
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       }
     }
-    val rounds = (1 to 2).map { _ =>
+    // MANY SHORT ROUNDS (each ~2 min: raw8, job8 ×2, raw32, job32 ×2) so
+    // every quantity samples several different noise windows. One global
+    // JIT/codegen warm job first — the CodeGenerator cache and JIT are
+    // JVM-wide, so later blocks' first runs pay only session-start cost
+    // (~1 s, filtered by the per-block min).
+    {
+      val s = session(32)
+      try time(pipelineE2E(s, scalingDir))
+      finally { s.stop(); SparkSession.clearActiveSession(); SparkSession.clearDefaultSession() }
+    }
+    val rounds = (1 to 4).map { _ =>
       (rawParseBaseline(8, scalingTurns), jobBlock(8, 2),
-        rawParseBaseline(32, scalingTurns), jobBlock(32, 3))
+        rawParseBaseline(32, scalingTurns), jobBlock(32, 2))
     }
     val raw8 = rounds.map(_._1).min
     val t8 = rounds.flatMap(_._2).min
@@ -224,6 +241,21 @@ object Bench {
     val t32 = rounds.flatMap(_._4).min
     val hwParseRatio = raw8 / raw32
     val hwAluRatio = cpuRatio(8, 32)
+    // Two estimators of the true quiet-machine efficiency, both reported:
+    //  - global: min per quantity independently across all rounds. Converges
+    //    to the quiet-window value of each factor with enough samples, but a
+    //    quantity that never lands a quiet window skews it (either way).
+    //  - paired: per-round (jobRatio / rawRatio) — within a round all four
+    //    quantities sit in the same ~2 min window, so sustained load cancels;
+    //    the MEDIAN over rounds discards both the round a burst inflated and
+    //    the round it deflated (a max here would be upward-biased).
+    // Headline = paired median (window-aligned, burst-robust both ways).
+    val effGlobal = (t8 / t32) / hwParseRatio
+    val perRound = rounds.map { case (r8, j8, r32, j32) =>
+      (j8.min / j32.min) / (r8 / r32)
+    }.sorted
+    val effPaired = (perRound(1) + perRound(2)) / 2 // median of 4
+    val effVsHw = effPaired
 
     val tps8 = scalingTurns / t8
     val tps32 = scalingTurns / t32
@@ -231,11 +263,11 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val effVsHw = (t8 / t32) / hwParseRatio
     val scaling = f"""{"turns":$scalingTurns,"sec_cores8":$t8%.3f,"sec_cores32":$t32%.3f,""" +
       f""""tps_cores8":${tps8}%.0f,"tps_cores32":${tps32}%.0f,"efficiency_8_to_32":$eff%.3f,""" +
       f""""raw_parse_sec_8":$raw8%.3f,"raw_parse_sec_32":$raw32%.3f,""" +
       f""""hw_parse_ratio_8_to_32":$hwParseRatio%.3f,"hw_cpu_ratio_8_to_32":$hwAluRatio%.3f,""" +
+      f""""eff_vs_ceiling_global":$effGlobal%.3f,"eff_vs_ceiling_paired_median":$effPaired%.3f,""" +
       f""""efficiency_vs_hw_ceiling":$effVsHw%.3f}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","scaling":$scaling}"""

@@ -343,7 +343,13 @@ object SparkEntry {
       "r2_json_projection" -> W(
         """SELECT conv_id, turn_idx, domain, client_ip, remote_logname, remote_user,
           |  CASE WHEN log_ts IS NULL THEN '0001-01-01T00:00:00Z'
-          |       ELSE strftime(log_ts, '%Y-%m-%dT%H:%M:%S') || 'Z' END AS ts_rfc3339,
+          |       ELSE strftime(log_ts, '%Y-%m-%dT%H:%M:%S') ||
+          |         CASE WHEN tz_offset_sec = 0 THEN 'Z'
+          |              ELSE (CASE WHEN tz_offset_sec < 0 THEN '-' ELSE '+' END) ||
+          |                lpad(CAST(abs(tz_offset_sec) // 3600 AS VARCHAR), 2, '0') || ':' ||
+          |                lpad(CAST((abs(tz_offset_sec) % 3600) // 60 AS VARCHAR), 2, '0')
+          |         END
+          |  END AS ts_rfc3339,
           |  method, path, path1, path2, path3, protocol, status,
           |  CAST(bytes_sent AS INT) AS bytes_sent, referer,
           |  ua_raw AS ua_fullname, ua_os, ua_family, ua_device_type, ua_human, ua_intent,
@@ -362,7 +368,7 @@ object SparkEntry {
 
       "r4_rawlog" -> W(
         """SELECT conv_id, turn_idx, 0 AS host_id,
-          |  CAST(epoch_ms(log_ts) // 1000 AS BIGINT) AS request_ts,
+          |  CAST(epoch_ms(log_ts) // 1000 - tz_offset_sec AS BIGINT) AS request_ts,
           |  client_ip,
           |  substr(remote_user, 1, 100) AS remote_user,
           |  substr(method, 1, 20) AS http_method,
@@ -380,7 +386,7 @@ object SparkEntry {
 
       "r4_rawlog_masked" -> W(
         """SELECT conv_id, turn_idx, 0 AS host_id,
-          |  CAST(epoch_ms(log_ts) // 1000 AS BIGINT) AS request_ts,
+          |  CAST(epoch_ms(log_ts) // 1000 - tz_offset_sec AS BIGINT) AS request_ts,
           |  CAST(NULL AS VARCHAR) AS client_ip,
           |  substr(remote_user, 1, 100) AS remote_user,
           |  substr(method, 1, 20) AS http_method,
@@ -416,7 +422,7 @@ object SparkEntry {
           |FROM parsed WHERE turn_idx >= 3 GROUP BY 1""".stripMargin),
 
       "s2_stream_windows" -> W(
-        """SELECT (epoch_ms(log_ts) // 600000) * 600 AS window_start, status,
+        """SELECT ((epoch_ms(log_ts) // 1000 - tz_offset_sec) // 600) * 600 AS window_start, status,
           |  count(*) AS cnt, CAST(sum(bytes_sent) AS BIGINT) AS bytes
           |FROM parsed GROUP BY 1, 2""".stripMargin),
 

@@ -112,7 +112,12 @@ object OracleSql {
       contains(uri, '%zz') AS invalid,
       split_part(uri, '?', 1) AS path,
       CASE WHEN strpos(uri, '?') > 0 THEN substr(uri, strpos(uri, '?') + 1) ELSE '' END AS rawq,
-      strptime(substr(ts_str, 1, 20), '%d/%b/%Y:%H:%M:%S') AS log_ts
+      strptime(substr(ts_str, 1, 20), '%d/%b/%Y:%H:%M:%S') AS log_ts,
+      -- the "±hhmm" zone suffix; strptime's result above is WALL time, so
+      -- instant = wall - tz_offset_sec wherever epoch math is needed
+      CASE WHEN substr(ts_str, 22, 1) = '-' THEN -1 ELSE 1 END *
+        (coalesce(TRY_CAST(substr(ts_str, 23, 2) AS INT), 0) * 3600 +
+         coalesce(TRY_CAST(substr(ts_str, 25, 2) AS INT), 0) * 60) AS tz_offset_sec
     FROM g2
   ),
   g4 AS (
@@ -149,7 +154,7 @@ object OracleSql {
   ),
   parsed AS (
     SELECT conv_id, turn_idx, role, tool, ts, text, fmt, domain, client_ip,
-      remote_logname, remote_user, log_ts, method, uri, path, path1, path2, path3,
+      remote_logname, remote_user, log_ts, tz_offset_sec, method, uri, path, path1, path2, path3,
       protocol, status, bytes_sent, referer, malicious, ua_raw, ua_intent,
       CASE WHEN ua_raw IS NULL THEN NULL
            WHEN path1 = '/robots.txt' AND ua_family0 NOT IN ('AIBot','SEOBot','Script','SearchBot','SocialBot')

@@ -77,7 +77,7 @@ object MultiJobConfig {
       val sb = new StringBuilder
       i += 1
       while (i < json.length && json.charAt(i) != '"') {
-        if (json.charAt(i) == '\\') { sb.append(json.charAt(i + 1)); i += 2 }
+        if (json.charAt(i) == '\\' && i + 1 < json.length) { sb.append(json.charAt(i + 1)); i += 2 }
         else { sb.append(json.charAt(i)); i += 1 }
       }
       i += 1
@@ -122,6 +122,17 @@ object MultiJobConfig {
       case (k, body) if k != DefaultKey && k != OsMetricsKey =>
         k -> JobConfig.fromJson(body, default)
     }
+  }
+
+  /** A config is the multi-source map iff every top-level value is itself an
+    * object — structural, like the reference's {filePath → config} shape —
+    * not a substring heuristic (a flat config whose string values merely
+    * mention --default-- must not be misrouted, and a map WITHOUT a
+    * --default-- entry is still a valid map, main.go:405-475).
+    */
+  def isMultiSource(json: String): Boolean = {
+    val entries = topLevelEntries(json)
+    entries.nonEmpty && entries.forall(_._2.trim.startsWith("{"))
   }
 }
 
@@ -198,7 +209,7 @@ object Pipeline {
     val rawCfg = if (args.length > 2)
       Some(new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(args(2)))))
     else None
-    val multi = rawCfg.filter(_.contains(s""""${MultiJobConfig.DefaultKey}""""))
+    val multi = rawCfg.filter(MultiJobConfig.isMultiSource)
     val cfg = if (multi.isEmpty) rawCfg.map(JobConfig.fromJson(_)).getOrElse(JobConfig())
     else JobConfig()
     val spark = SparkSession.builder()
@@ -212,7 +223,9 @@ object Pipeline {
     multi match {
       case Some(json) =>
         MultiJobConfig.fromJson(json).foreach { case (srcDir, c) =>
-          val name = java.nio.file.Paths.get(srcDir).getFileName.toString
+          // key the output on the sanitized FULL path: two sources sharing a
+          // basename (/a/logs, /b/logs) must not overwrite each other
+          val name = srcDir.replaceAll("[^A-Za-z0-9._-]+", "_").dropWhile(_ == '_')
           val r = run(spark, srcDir, s"$outDir/$name", c)
           println(r.report)
           println(s"[pipeline] source=$srcDir rows=${r.rows}")

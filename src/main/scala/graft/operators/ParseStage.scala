@@ -57,10 +57,6 @@ object ParseStage {
     if (keepText) quirked else quirked.drop("text")
   }
 
-  /** Event-time window as int64 yyyyMMddHHmm, minute floored to the window
-    * size, computed in the event's own UTC offset — exact integer semantics
-    * of metricgenerator.go:131-158. Null timestamp → the Go zero-time window.
-    */
   /** Instant shifted by its own UTC offset: formatting the result in a UTC
     * session yields the event's local-time fields. Built from the passed
     * Columns (cast arithmetic, not a name-bound expr): log timestamps are
@@ -70,6 +66,10 @@ object ParseStage {
   def localTs(logTs: Column, tzOffsetSec: Column): Column =
     (logTs.cast("long") + tzOffsetSec.cast("long")).cast("timestamp")
 
+  /** Event-time window as int64 yyyyMMddHHmm, minute floored to the window
+    * size, computed in the event's own UTC offset — exact integer semantics
+    * of metricgenerator.go:131-158. Null timestamp → the Go zero-time window.
+    */
   def timeWindowCol(logTs: Column, tzOffsetSec: Column, windowMinutes: Int = 10): Column = {
     require(Set(1, 5, 10, 15, 30, 60).contains(windowMinutes), s"bad window $windowMinutes")
     val local = localTs(logTs, tzOffsetSec)

@@ -34,8 +34,16 @@ object TopK {
   }
 
   /** cnt desc, key asc with nulls FIRST (Spark's asc null ordering, so the
-    * aggregator ranks exactly like the window it replaces)
+    * aggregator ranks exactly like the window it replaces). Key comparison
+    * is binary UTF-8 like Spark's UTF8String and DuckDB's memcmp collation —
+    * Java String.compareTo (UTF-16 code units) disagrees with both for
+    * supplementary characters vs U+E000..U+FFFF.
     */
+  private def utf8Compare(x: String, y: String): Int =
+    java.util.Arrays.compareUnsigned(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      y.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
   private val keyCountOrd: Ordering[KeyCount] = (a: KeyCount, b: KeyCount) => {
     val c = java.lang.Long.compare(b.cnt, a.cnt)
     if (c != 0) c
@@ -43,7 +51,7 @@ object TopK {
       case (null, null) => 0
       case (null, _)    => -1
       case (_, null)    => 1
-      case (x, y)       => x.compareTo(y)
+      case (x, y)       => utf8Compare(x, y)
     }
   }
 
