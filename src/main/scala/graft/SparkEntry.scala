@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -95,6 +95,27 @@ object SparkEntry {
     "a2_keyed_counts" -> ((s, d) => Aggregates.keyedCounts(parsed(s, d))),
 
     "a4_topn_paths" -> ((s, d) => Aggregates.topN(parsed(s, d), "path", 10)),
+
+    // A3 windowed delta: the counter report's (+N) between two reporting
+    // ticks (counter.go:49-56 PreviousValue) — tick 1 = turns seen so far
+    // (turn_idx < 6), tick 2 = all turns; both snapshots in ONE aggregation
+    // pass, emitted long-form with the delta
+    "a3_totals_delta" -> ((s, d) => {
+      val p = parsed(s, d)
+      val early = col("turn_idx") < 6
+      def snap(name: String, now: Column, before: Column) = struct(
+        lit(name).as("key"), before.cast("long").as("prev"), now.cast("long").as("cur"))
+      val rows = p.agg(
+        snap("total_requests", count(lit(1)), sum(when(early, 1L).otherwise(0L))).as("a"),
+        snap("total_bytes", sum(col("bytes_sent")), sum(when(early, col("bytes_sent")).otherwise(0L))).as("b"),
+        snap("humans", sum(when(col("ua_human") === "Human", 1L).otherwise(0L)),
+          sum(when(early && col("ua_human") === "Human", 1L).otherwise(0L))).as("c"),
+        snap("malicious_requests", sum(when(col("malicious") =!= 0, 1L).otherwise(0L)),
+          sum(when(early && col("malicious") =!= 0, 1L).otherwise(0L))).as("d"))
+      rows.select(explode(array(col("a"), col("b"), col("c"), col("d"))).as("e"))
+        .select(col("e.key").as("key"), col("e.prev").as("prev"), col("e.cur").as("cur"),
+          (col("e.cur") - col("e.prev")).as("delta"))
+    }),
 
     "a6_metric_rows" -> ((s, d) => Aggregates.metricRows(parsed(s, d))),
 
@@ -327,6 +348,22 @@ object SparkEntry {
           |    row_number() OVER (ORDER BY count(*) DESC, path ASC) AS rank
           |  FROM parsed GROUP BY path
           |) WHERE rank <= 10""".stripMargin),
+
+      "a3_totals_delta" -> W(
+        """SELECT key, prev, cur, cur - prev AS delta FROM (
+          |  SELECT 'total_requests' AS key,
+          |    CAST(sum(CASE WHEN turn_idx < 6 THEN 1 ELSE 0 END) AS BIGINT) AS prev,
+          |    count(*) AS cur FROM parsed
+          |  UNION ALL SELECT 'total_bytes',
+          |    CAST(sum(CASE WHEN turn_idx < 6 THEN bytes_sent ELSE 0 END) AS BIGINT),
+          |    CAST(sum(bytes_sent) AS BIGINT) FROM parsed
+          |  UNION ALL SELECT 'humans',
+          |    CAST(sum(CASE WHEN turn_idx < 6 AND ua_human = 'Human' THEN 1 ELSE 0 END) AS BIGINT),
+          |    CAST(sum(CASE WHEN ua_human = 'Human' THEN 1 ELSE 0 END) AS BIGINT) FROM parsed
+          |  UNION ALL SELECT 'malicious_requests',
+          |    CAST(sum(CASE WHEN turn_idx < 6 AND malicious <> 0 THEN 1 ELSE 0 END) AS BIGINT),
+          |    CAST(sum(CASE WHEN malicious <> 0 THEN 1 ELSE 0 END) AS BIGINT) FROM parsed
+          |)""".stripMargin),
 
       "a6_metric_rows" -> W(OracleSql.metricRowsSql),
 
