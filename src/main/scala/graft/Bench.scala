@@ -233,7 +233,10 @@ object Bench {
     }
     def rawMin(n: Int, runs: Int): Double =
       (1 to runs).map(_ => rawParseBaseline(n, scalingTurns)).min
-    val rounds = (1 to 4).map { _ =>
+    // 3 rounds ≈ 8-9 min of scaling samples: 6 per quantity, and the whole
+    // bench stays near the round-1 driver runtime (a driver-side timeout
+    // that truncates the run would lose the artifact entirely)
+    val rounds = (1 to 3).map { _ =>
       (rawMin(8, 2), jobBlock(8, 2), rawMin(32, 2), jobBlock(32, 2))
     }
     val raw8 = rounds.map(_._1).min
@@ -257,7 +260,7 @@ object Bench {
     val perRound = rounds.map { case (r8, j8, r32, j32) =>
       (j8.min / j32.min) / (r8 / r32)
     }.sorted
-    val effPaired = (perRound(1) + perRound(2)) / 2 // median of 4
+    val effPaired = perRound(perRound.length / 2) // median
     val effVsHw = effGlobal
 
     val tps8 = scalingTurns / t8
