@@ -247,10 +247,13 @@ object Bench {
     val hwAluRatio = cpuRatio(8, 32)
     // Two estimators of the true quiet-machine efficiency, both reported:
     //  - global (HEADLINE): min per quantity independently across all rounds
-    //    — 8 samples per quantity spread over ~10 min. Converges to each
+    //    — 6 samples per quantity spread over ~9 min. Converges to each
     //    factor's quiet-window value; measured cross-run stability of the
     //    mins (t8 23.8-27.9 s, raw8 17.9-18.0 s across full runs) shows it
-    //    does converge on this host.
+    //    does converge on this host. Caveat (ADVICE r2): each min may come
+    //    from a DIFFERENT quiet window, so the ratio-of-mins is an upward-
+    //    biased estimate of any single window's ratio — which is why the
+    //    paired median below stays in the artifact as the pessimistic bound.
     //  - paired: per-round (jobRatio / rawRatio), median over rounds. Was
     //    meant to cancel load within a round, but measured bursts last
     //    ~30-60 s — SHORTER than a round — so pairing does not align windows
@@ -261,7 +264,13 @@ object Bench {
       (j8.min / j32.min) / (r8 / r32)
     }.sorted
     val effPaired = perRound(perRound.length / 2) // median
-    val effVsHw = effGlobal
+    // ADVICE r2: this key was silently redefined in round 2 (denominator
+    // switched from the ALU spin-loop ratio to the raw parse-thread ratio),
+    // making r1-vs-r2 values under the same key incomparable. Restored: this
+    // key again carries the ORIGINAL r1 definition (ALU-ceiling denominator,
+    // the conservative one); the parse-ceiling estimator lives solely under
+    // its own eff_vs_ceiling_global key.
+    val effVsHw = (t8 / t32) / hwAluRatio
 
     val tps8 = scalingTurns / t8
     val tps32 = scalingTurns / t32

@@ -32,15 +32,19 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---------------------------------------------------------------- TPC-H-ish
+    // DECIMAL is banished from every output schema: the driver's hasher
+    // canonicalizes decimal VALUES differently between the Spark parquet and
+    // the DuckDB result even when declared widths and values agree (red in
+    // r1 AND r2). The inputs are exact 2-decimal doubles, so round(x*100) is
+    // the same integer in both engines (never a .5 tie — x*100 is within
+    // 1e-9 of an integer) and the BIGINT sum is lossless. Same pattern as
+    // e_rate_windows.value_micros, green since r1.
     "q1_agg" -> ((s, d) => t(s, d)("lineitem")
       .filter(col("l_shipdate") <= lit("1998-09-02"))
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
-        // final cast to DECIMAL(38,2) on BOTH sides: Spark widens sum(18,2)
-        // to (28,2), DuckDB to (38,2) — the driver's hash is sensitive to the
-        // declared width even when values are bit-identical
-        sum(col("l_quantity").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+        sum(round(col("l_quantity") * 100).cast("long")).as("sum_qty_cents"),
+        sum(round(col("l_extendedprice") * 100).cast("long")).as("sum_base_price_cents"),
         count(lit(1)).as("count_order"))),
 
     "q3_topn_join" -> ((s, d) => {
@@ -50,8 +54,12 @@ object SparkEntry {
       l.join(o, l("l_orderkey") === o("o_orderkey"))
         .join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .groupBy(col("l_orderkey"))
-        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")).cast("decimal(38,4)").as("revenue"))
-        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        // revenue in 1e-4 units (BIGINT): ep*(1-disc) is the same IEEE double
+        // in both engines, *1e4 is within float error of the exact 4-decimal
+        // rational, round() lands on the same integer
+        .agg(sum(round(col("l_extendedprice") * (lit(1) - col("l_discount")) * 10000)
+          .cast("long")).as("revenue_m4"))
+        .orderBy(col("revenue_m4").desc, col("l_orderkey").asc)
         .limit(10)
     }),
 
@@ -70,7 +78,7 @@ object SparkEntry {
       o.select(
         col("o_custkey"), col("o_orderkey"),
         row_number().over(w).as("order_seq"),
-        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("decimal(38,2)").as("running_spend"))
+        sum(round(col("o_totalprice") * 100).cast("long")).over(w).as("running_spend_cents"))
     }),
 
     "e_rate_windows" -> ((s, d) => t(s, d)("events")
@@ -269,29 +277,31 @@ object SparkEntry {
     // ---------------------------------------------------------- multimodal
     "mm_binary_meta" -> ((s, d) => Multimodal.metaColumns(t(s, d)("documents"))),
 
-    "mm_decode_stub" -> ((s, d) => {
-      Multimodal.decodeMeta(t(s, d)("documents")).toDF()
-        .groupBy("media_type").agg(count(lit(1)).as("n"), sum("n_bytes").as("bytes"))
-    }))
+    // real header decode over the binary payload column (PNG/WAV/BMP magic
+    // dispatch + field parse); oracle = the same fields round-trip-pinned at
+    // sig-table synth time, full per-doc compare
+    "mm_decode" -> ((s, d) =>
+      Multimodal.decodeMeta(Multimodal.withPayload(t(s, d)("documents"))).toDF()
+        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "sample_rate")))
 
   def oracleSql: Map[String, String] = {
     val W = OracleSql.withParsed _
     val base = Map(
       "q1_agg" ->
         """SELECT l_returnflag, l_linestatus,
-          |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
+          |  CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS sum_qty_cents,
+          |  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_price_cents,
           |  count(*) AS count_order
           |FROM lineitem WHERE l_shipdate <= '1998-09-02' GROUP BY 1, 2""".stripMargin,
 
       "q3_topn_join" ->
         """SELECT l_orderkey,
-          |  CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DECIMAL(38,4)) AS revenue
+          |  CAST(sum(CAST(round(l_extendedprice * (1 - l_discount) * 10000) AS BIGINT)) AS BIGINT) AS revenue_m4
           |FROM lineitem
           |JOIN orders ON l_orderkey = o_orderkey
           |JOIN customer ON o_custkey = c_custkey
           |WHERE c_mktsegment = 'BUILDING'
-          |GROUP BY 1 ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""".stripMargin,
+          |GROUP BY 1 ORDER BY revenue_m4 DESC, l_orderkey ASC LIMIT 10""".stripMargin,
 
       "q_join_bcast" ->
         """SELECT r_name, count(*) AS suppliers
@@ -301,7 +311,7 @@ object SparkEntry {
       "w_window_running" ->
         """SELECT o_custkey, o_orderkey,
           |  row_number() OVER w AS order_seq,
-          |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DECIMAL(38,2)) AS running_spend
+          |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) OVER w AS BIGINT) AS running_spend_cents
           |FROM orders WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
 
       "e_rate_windows" ->
@@ -600,9 +610,9 @@ object SparkEntry {
       "text_fingerprint" ->
         s"SELECT doc_id, fingerprint, n_winnow FROM read_parquet('${OracleSql.docSigsGlob}')",
 
-      "mm_decode_stub" ->
-        s"""SELECT media_type, count(*) AS n, CAST(sum(n_bytes) AS BIGINT) AS bytes
-           |FROM read_parquet('${OracleSql.docSigsGlob}') GROUP BY 1""".stripMargin,
+      "mm_decode" ->
+        s"""SELECT doc_id, media_type, n_bytes, width, height, n_frames, sample_rate
+           |FROM read_parquet('${OracleSql.docSigsGlob}')""".stripMargin,
 
       "ann_topk" ->
         """SELECT query_id, neighbor_id FROM (

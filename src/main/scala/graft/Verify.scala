@@ -15,6 +15,9 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // pin the oracle's derived-table globs to THIS run's scale, so verifying
+    // at sf0.001/sf0.1 compares against same-scale transcripts + sig tables
+    graft.app.OracleSql.verifySf = graft.sources.Tables.sfName(sfDir)
     // pin the LSH/fingerprint signature tables the DuckDB oracle reads
     // (synth-on-first-use, deterministic — see graft.sources.SigTables)
     graft.sources.SigTables.ensure(spark, sfDir)

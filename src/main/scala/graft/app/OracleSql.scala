@@ -17,9 +17,14 @@ import graft.sources.TranscriptGen
   */
 object OracleSql {
 
-  /** the driver's correctness scale (TESTDATA.md: t2 uses sf0.01) */
-  val verifySf = "sf0.01"
-  val transcriptsGlob = s"/root/repo/data/transcripts/$verifySf/*.parquet"
+  /** The scale the oracle SQL reads its derived tables (transcripts, sig
+    * tables) at. Defaults to the driver's correctness scale (TESTDATA.md: t2
+    * uses sf0.01) but is SET BY Verify.main from the sfDir it receives, so
+    * verification at any other scale compares against same-scale tables
+    * (VERDICT r2 "What's missing" item 4).
+    */
+  @volatile var verifySf: String = "sf0.01"
+  def transcriptsGlob: String = s"/root/repo/data/transcripts/$verifySf/*.parquet"
 
   private def sq(s: String): String = s.replace("'", "''")
 
@@ -84,8 +89,8 @@ object OracleSql {
       s"WHEN '${sq(ua)}' THEN '${field(UserAgents.classify(ua))}'"
     }.mkString(" ") + " ELSE NULL END"
 
-  /** the shared parse CTE prefix */
-  val parsedCte: String = {
+  /** the shared parse CTE prefix (def: transcriptsGlob tracks verifySf) */
+  def parsedCte: String = {
     val raw = s"""
   t AS (SELECT * FROM read_parquet('$transcriptsGlob')),
   g AS (
@@ -177,11 +182,12 @@ object OracleSql {
     * bit-counts, cosine rescoring) over signatures the engine's own
     * deterministic hash functions produced at synth time
     */
-  val sigsRoot = s"/root/repo/data/sigs/$verifySf"
-  val docSigsGlob = s"$sigsRoot/doc_sigs/*.parquet"
-  val minhashBandsGlob = s"$sigsRoot/minhash_bands/*.parquet"
-  val embSigsGlob = s"$sigsRoot/emb_sigs/*.parquet"
-  val ivfCentroidsGlob = s"$sigsRoot/ivf_centroids/*.parquet"
+  // derived FROM SigTables' own path functions (single source of truth —
+  // a versioned write path must move the read glob with it)
+  def docSigsGlob: String = s"${graft.sources.SigTables.docSigsPath(verifySf)}/*.parquet"
+  def minhashBandsGlob: String = s"${graft.sources.SigTables.minhashBandsPath(verifySf)}/*.parquet"
+  def embSigsGlob: String = s"${graft.sources.SigTables.embSigsPath(verifySf)}/*.parquet"
+  def ivfCentroidsGlob: String = s"${graft.sources.SigTables.ivfCentroidsPath(verifySf)}/*.parquet"
 
   /** the A2 keyed-count unpivot in SQL, generated from the same dim table
     * the engine uses (Aggregates.counterDims) so the two cannot drift

@@ -124,6 +124,17 @@ object MultiJobConfig {
     }
   }
 
+  /** the `--OS-metrics--` sampler config (main.go:545-570): not a source —
+    * its live fields (HostId for the emitted sample, the handler list) apply
+    * to the job-metrics emission. Default-merged like any source entry.
+    */
+  def osMetricsConfig(json: String): Option[JobConfig] = {
+    val entries = topLevelEntries(json)
+    val default = entries.collectFirst { case (DefaultKey, body) => JobConfig.fromJson(body) }
+      .getOrElse(JobConfig())
+    entries.collectFirst { case (OsMetricsKey, body) => JobConfig.fromJson(body, default) }
+  }
+
   /** A config is the multi-source map iff every top-level value is itself an
     * object — structural, like the reference's {filePath → config} shape —
     * not a substring heuristic (a flat config whose string values merely
@@ -147,7 +158,8 @@ object Pipeline {
 
   final case class Result(manifest: String, report: String, rows: Long)
 
-  def run(spark: SparkSession, sfDir: String, outDir: String, cfg: JobConfig = JobConfig()): Result = {
+  def run(spark: SparkSession, sfDir: String, outDir: String, cfg: JobConfig = JobConfig(),
+      osCfg: Option[JobConfig] = None): Result = {
     val transcripts0 = Tables.transcripts(spark, sfDir)
     // S3 start offset (main.go:926-978): per-conversation analog
     val transcripts = cfg.startFrom match {
@@ -185,9 +197,12 @@ object Pipeline {
 
     // S5 analog: job-metrics snapshot next to the lineage manifest — rows
     // processed plus a best-effort host sample through the reference's
-    // uptime/free parsers (os_metrics.go; scheduler main.go:102-202)
+    // uptime/free parsers (os_metrics.go; scheduler main.go:102-202).
+    // The sample is stamped with the --OS-metrics-- entry's HostId when the
+    // multi-source config carries one (ADVICE r2: previously parsed and
+    // discarded), falling back to the source config's host id.
     val (up, mem) = graft.metrics.OsMetrics.liveSnapshot()
-    val jm = s"""{"rows":$rows""" +
+    val jm = s"""{"rows":$rows,"host_id":${osCfg.getOrElse(cfg).hostId}""" +
       up.map(u => s""","up_minutes":${u.upDurationMinutes},"load1":"${u.load1}"""").getOrElse("") +
       mem.map(m => s""","mem_use":${m.memUse},"mem_available":${m.memAvailable}""").getOrElse("") +
       "}"
@@ -198,10 +213,12 @@ object Pipeline {
     Result(manifest, report, rows)
   }
 
-  /** spark-submit entry: args = sfDir outDir [configJsonPath]. A config
-    * containing a `--default--` entry is the reference's multi-source map:
+  /** spark-submit entry: args = sfDir outDir [configJsonPath]. A config is
+    * treated as the reference's multi-source map when EVERY top-level value
+    * is itself a JSON object (structural {sourcePath → config} detection —
+    * see MultiJobConfig.isMultiSource; a `--default--` entry is optional):
     * each non-special key is a source dir run with its merged config
-    * (outputs land under outDir/<basename>).
+    * (outputs land under outDir/<sanitized full path>).
     */
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
@@ -222,11 +239,12 @@ object Pipeline {
     spark.sparkContext.setLogLevel("WARN")
     multi match {
       case Some(json) =>
+        val osCfg = MultiJobConfig.osMetricsConfig(json)
         MultiJobConfig.fromJson(json).foreach { case (srcDir, c) =>
           // key the output on the sanitized FULL path: two sources sharing a
           // basename (/a/logs, /b/logs) must not overwrite each other
           val name = srcDir.replaceAll("[^A-Za-z0-9._-]+", "_").dropWhile(_ == '_')
-          val r = run(spark, srcDir, s"$outDir/$name", c)
+          val r = run(spark, srcDir, s"$outDir/$name", c, osCfg)
           println(r.report)
           println(s"[pipeline] source=$srcDir rows=${r.rows}")
         }

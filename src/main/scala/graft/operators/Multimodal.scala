@@ -1,15 +1,28 @@
 package graft.operators
 
+import java.nio.{ByteBuffer, ByteOrder}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{CRC32, Deflater}
+
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: media payloads are opaque `binary` columns
   * with typed metadata alongside. The Spark-side machinery — schema, batch
   * iteration shape (mapPartitions = the Scala analog of mapInPandas batches),
-  * partition-parallel decode, metadata projection — is real and tested; the
-  * actual codec is STUBBED deterministically because no image/audio library
-  * ships in this container. Swap `decodeStub` for a real decoder and nothing
-  * else changes.
+  * partition-parallel decode, metadata projection — is real and tested, and
+  * since round 3 the decode itself reads REAL container bytes: payloads are
+  * hand-encoded but structurally valid PNG / WAV / BMP files (correct magic
+  * numbers, chunk/RIFF layout, CRCs, little/big-endian header fields), and
+  * `decodeMedia` dispatches on the magic bytes and parses width / height /
+  * sample rate / frame count out of the actual headers.
+  *
+  * The honest remaining stub is PIXEL/SAMPLE decode: no image or audio codec
+  * library ships in this container, so the PNG IDAT chunk carries a real
+  * zlib (java.util.zip.Deflater) stream of the document bytes rather than
+  * filtered scanlines, and feature extraction beyond header metadata is out
+  * of scope. Swapping in a real codec changes only the body of
+  * `decodeMedia`'s per-format branches; the distributed shape stays as-is.
   */
 object Multimodal {
 
@@ -22,44 +35,176 @@ object Multimodal {
       n_frames: Int,
       sample_rate: Int)
 
-  /** STUB decoder: deterministic pseudo-metadata from the payload bytes.
-    * Stands in for e.g. an image header parse; same signature a real decoder
-    * would have (bytes in, typed metadata out).
+  private def mix(x: Long): Long = graft.sources.TranscriptGen.mix(x)
+  private def pick(h: Long, mod: Int): Int =
+    java.lang.Long.remainderUnsigned(h, mod.toLong).toInt
+
+  // ------------------------------------------------------------- encoders
+  // Tiny but structurally real containers, deterministic per doc. These are
+  // the synth-time stand-ins for actual media files (nothing in the sandbox
+  // can produce real photographs); every header field below is the genuine
+  // on-disk encoding a real decoder would read.
+
+  /** PNG: 8-byte signature + IHDR + IDAT (real zlib stream of the payload
+    * bytes) + IEND, each chunk with its correct big-endian length and CRC32.
     */
-  def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
-    val n = bytes.length.toLong
-    val h = graft.sources.TranscriptGen.mix(if (n == 0) docId else n * 31 + bytes(0))
-    val kind = (java.lang.Long.remainderUnsigned(h, 3L)).toInt match {
-      case 0 => "image"; case 1 => "audio"; case _ => "video"
+  private[operators] def encodePng(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes(StandardCharsets.US_ASCII)
+      val bb = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new CRC32
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
     }
-    MediaMeta(
-      doc_id = docId,
-      n_bytes = n,
-      media_type = kind,
-      width = if (kind == "audio") 0 else 64 + (n % 576).toInt,
-      height = if (kind == "audio") 0 else 64 + ((n * 7) % 320).toInt,
-      n_frames = if (kind == "video") 1 + (n % 240).toInt else if (kind == "image") 1 else 0,
-      sample_rate = if (kind == "audio") 16000 else 0)
+    val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
+      .putInt(width).putInt(height)
+      .put(8.toByte)  // bit depth
+      .put(2.toByte)  // color type: truecolor
+      .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      .array()
+    val deflater = new Deflater()
+    deflater.setInput(payload); deflater.finish()
+    val buf = new Array[Byte](payload.length + 64)
+    val n = deflater.deflate(buf)
+    deflater.end()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.empty)
   }
 
-  /** Attach a binary payload column (here: the utf-8 text bytes standing in
-    * for real media) — the schema/write path any ingest job would use.
+  /** WAV: RIFF/WAVE with a 16-byte PCM fmt chunk and a data chunk of the
+    * payload truncated to whole sample frames — all sizes little-endian.
     */
-  def withPayload(docs: DataFrame): DataFrame =
-    docs.withColumn("payload", col("text").cast("binary"))
+  private[operators] def encodeWav(channels: Int, sampleRate: Int, payload: Array[Byte]): Array[Byte] = {
+    val blockAlign = channels * 2 // 16-bit PCM
+    val dataLen = (payload.length / blockAlign) * blockAlign
+    val bb = ByteBuffer.allocate(44 + dataLen).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes(StandardCharsets.US_ASCII)).putInt(36 + dataLen)
+      .put("WAVE".getBytes(StandardCharsets.US_ASCII))
+      .put("fmt ".getBytes(StandardCharsets.US_ASCII)).putInt(16)
+      .putShort(1)                       // PCM
+      .putShort(channels.toShort)
+      .putInt(sampleRate)
+      .putInt(sampleRate * blockAlign)   // byte rate
+      .putShort(blockAlign.toShort)
+      .putShort(16)                      // bits per sample
+      .put("data".getBytes(StandardCharsets.US_ASCII)).putInt(dataLen)
+      .put(payload, 0, dataLen)
+    bb.array()
+  }
 
-  /** Batched partition-parallel decode — the mapInPandas-shaped stage. */
-  def decodeMeta(docs: DataFrame): Dataset[MediaMeta] = {
+  /** BMP: BITMAPFILEHEADER + BITMAPINFOHEADER (40-byte, 24bpp) + pixel rows
+    * padded to 4 bytes, pixels cycled from the payload. A fully valid file.
+    */
+  private[operators] def encodeBmp(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val rowSize = ((width * 3 + 3) / 4) * 4
+    val pixelBytes = rowSize * height
+    val bb = ByteBuffer.allocate(54 + pixelBytes).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + pixelBytes)
+      .putShort(0).putShort(0).putInt(54) // reserved + pixel offset
+      .putInt(40).putInt(width).putInt(height)
+      .putShort(1)                        // planes
+      .putShort(24)                       // bpp
+      .putInt(0)                          // BI_RGB
+      .putInt(pixelBytes).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var i = 0
+    while (i < pixelBytes) {
+      bb.put(if (payload.isEmpty) 0.toByte else payload(i % payload.length))
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic per-doc media payload: format, dimensions, and rate are
+    * splitmix functions of doc_id; the document text supplies the body bytes.
+    */
+  def encodeMedia(docId: Long, text: String): Array[Byte] = {
+    val payload = text.getBytes(StandardCharsets.UTF_8)
+    val h = mix(docId * 7919L + 1L)
+    val h2 = mix(docId * 7919L + 2L)
+    pick(mix(docId), 3) match {
+      case 0 => encodePng(16 + pick(h, 600), 16 + pick(h2, 400), payload)
+      case 1 =>
+        val rates = Array(8000, 16000, 22050, 44100)
+        encodeWav(1 + pick(h, 2), rates(pick(h2, rates.length)), payload)
+      case _ => encodeBmp(4 * (1 + pick(h, 40)), 1 + pick(h2, 40), payload)
+    }
+  }
+
+  // -------------------------------------------------------------- decoder
+  private def beInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+  private def leInt(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8) | ((b(off + 2) & 0xff) << 16) | ((b(off + 3) & 0xff) << 24)
+  private def leShort(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def ascii(b: Array[Byte], off: Int, s: String): Boolean =
+    b.length >= off + s.length && s.indices.forall(i => b(off + i) == s.charAt(i).toByte)
+
+  /** Header decode from actual bytes: magic-number dispatch, then the
+    * format's real field offsets/endianness. Unknown/truncated payloads come
+    * back as media_type="unknown" with zeroed fields (never a throw — one
+    * bad blob must not kill a 100 TB stage).
+    */
+  def decodeMedia(docId: Long, bytes: Array[Byte]): MediaMeta = {
+    val n = bytes.length.toLong
+    def meta(t: String, w: Int = 0, h: Int = 0, fr: Int = 0, sr: Int = 0) =
+      MediaMeta(docId, n, t, w, h, fr, sr)
+    if (bytes.length >= 24 && bytes(0) == 0x89.toByte && ascii(bytes, 1, "PNG") &&
+        ascii(bytes, 12, "IHDR")) {
+      meta("png", w = beInt(bytes, 16), h = beInt(bytes, 20), fr = 1)
+    } else if (bytes.length >= 44 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
+      // walk RIFF chunks for fmt/data — their order is not fixed by the spec
+      var off = 12
+      var sampleRate = 0
+      var blockAlign = 0
+      var dataLen = 0
+      while (off + 8 <= bytes.length) {
+        val size = leInt(bytes, off + 4)
+        if (ascii(bytes, off, "fmt ") && off + 24 <= bytes.length) {
+          sampleRate = leInt(bytes, off + 12)
+          blockAlign = leShort(bytes, off + 20)
+        } else if (ascii(bytes, off, "data")) {
+          dataLen = size
+        }
+        off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
+      }
+      meta("wav", fr = if (blockAlign > 0) dataLen / blockAlign else 0, sr = sampleRate)
+    } else if (bytes.length >= 26 && ascii(bytes, 0, "BM")) {
+      meta("bmp", w = leInt(bytes, 18), h = math.abs(leInt(bytes, 22)), fr = 1)
+    } else meta("unknown")
+  }
+
+  /** Attach the binary payload column — the schema/write path any media
+    * ingest job would use. Encoded inside mapPartitions (not a UDF): the
+    * deterministic-UDF inlining trap re-evaluates expensive functions per
+    * downstream reference (graft-spark-codegen-traps #1).
+    */
+  def withPayload(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    withPayload(docs)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions { batch => batch.map { case (id, bytes) => decodeStub(id, bytes) } }
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) => (id, encodeMedia(id, text)) })
+      .toDF("doc_id", "payload")
   }
 
-  /** Pure-column variant of the stub metadata (no UDF, codegen'd) used by the
-    * SQL-verifiable query: byte length drives the fake dimensions.
+  /** Batched partition-parallel decode — the mapInPandas-shaped stage, now
+    * reading real container headers out of the binary column.
+    */
+  def decodeMeta(docsWithPayload: DataFrame): Dataset[MediaMeta] = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => decodeMedia(id, bytes) })
+  }
+
+  /** Pure-column stand-in metadata (no UDF, codegen'd) used by the
+    * SQL-verifiable mm_binary_meta query: byte length drives fake dimensions.
+    * Kept alongside the real header decode as the zero-cost projection for
+    * pipelines that only need a deterministic bucketing key, not real fields.
     */
   def metaColumns(docs: DataFrame): DataFrame = {
     val n = length(col("text")).cast("long") // ascii corpus: bytes == chars

@@ -23,28 +23,39 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SigTables {
 
-  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/${Tables.sfName(sfDir)}"
+  // v2: round-3 schema (doc_sigs gained the real-container decode fields
+  // width/height/n_frames/sample_rate). Versioned path, because `ensure` is
+  // synth-on-first-use: a driver machine carrying v1 tables from an earlier
+  // round must regenerate, not silently serve the stale schema.
+  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/v2/${Tables.sfName(sfDir)}"
   def docSigsPath(sfDir: String): String = s"${root(sfDir)}/doc_sigs"
   def minhashBandsPath(sfDir: String): String = s"${root(sfDir)}/minhash_bands"
   def embSigsPath(sfDir: String): String = s"${root(sfDir)}/emb_sigs"
   def ivfCentroidsPath(sfDir: String): String = s"${root(sfDir)}/ivf_centroids"
 
   /** doc_id, simhash, fingerprint, n_winnow, shingles (distinct, sorted),
-    * media_type + n_bytes (the decode-stub outputs)
+    * plus the media decode fields pinned by ROUND-TRIPPING each document
+    * through the real container encoder and header parser at synth time
+    * (Multimodal.encodeMedia → decodeMedia) — the oracle side of mm_decode.
     */
   def docSigs(docs: DataFrame): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val meta = Multimodal.decodeStub(id, text.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val meta = Multimodal.decodeMedia(id, Multimodal.encodeMedia(id, text))
       (id,
         Dedup.simhash(text),
         TextAnalysis.polyHash(text),
         TextAnalysis.winnow(text).length,
         Dedup.shingleHashes(text).distinct.sorted.toSeq,
         meta.media_type,
-        meta.n_bytes)
-    }.toDF("doc_id", "simhash", "fingerprint", "n_winnow", "shingles", "media_type", "n_bytes")
+        meta.n_bytes,
+        meta.width,
+        meta.height,
+        meta.n_frames,
+        meta.sample_rate)
+    }.toDF("doc_id", "simhash", "fingerprint", "n_winnow", "shingles",
+      "media_type", "n_bytes", "width", "height", "n_frames", "sample_rate")
   }
 
   /** doc_id, band, band_key — same (k=32, bands=8) family as

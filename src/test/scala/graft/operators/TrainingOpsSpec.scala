@@ -123,16 +123,39 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(w1.toSet.intersect(w2.toSet).size >= w1.length - 2)
   }
 
-  test("multimodal decode stub: schema, determinism, batch shape") {
-    val meta = Multimodal.decodeMeta(docs).collect()
+  test("multimodal: real container headers decode to the fields they encode") {
+    // PNG: big-endian IHDR fields at their real offsets + CRC'd chunks
+    val png = Multimodal.encodePng(320, 200, "pixels!".getBytes("UTF-8"))
+    assert(png.take(8).toSeq == Seq[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    val pm = Multimodal.decodeMedia(1L, png)
+    assert(pm.media_type == "png" && pm.width == 320 && pm.height == 200 && pm.n_frames == 1)
+    // the IHDR CRC is a real CRC32 over type+data (offset 29..32)
+    val crc = new java.util.zip.CRC32
+    crc.update(png, 12, 4 + 13)
+    assert(java.nio.ByteBuffer.wrap(png, 29, 4).getInt == crc.getValue.toInt)
+
+    // WAV: little-endian fmt fields; frame count = data bytes / block align
+    val wav = Multimodal.encodeWav(channels = 2, sampleRate = 44100,
+      payload = new Array[Byte](1003)) // truncates to 1000 = 250 frames of 4
+    val wm = Multimodal.decodeMedia(2L, wav)
+    assert(wm.media_type == "wav" && wm.sample_rate == 44100 && wm.n_frames == 250)
+
+    // BMP: little-endian dims at offsets 18/22
+    val bm = Multimodal.decodeMedia(3L, Multimodal.encodeBmp(48, 33, "px".getBytes("UTF-8")))
+    assert(bm.media_type == "bmp" && bm.width == 48 && bm.height == 33)
+
+    // garbage never throws — one bad blob must not kill a stage
+    assert(Multimodal.decodeMedia(4L, Array[Byte](1, 2, 3)).media_type == "unknown")
+    assert(Multimodal.decodeMedia(5L, Array.empty[Byte]).media_type == "unknown")
+
+    // distributed shape: encode + decode through the binary column round-trips
+    val meta = Multimodal.decodeMeta(Multimodal.withPayload(docs)).collect()
     assert(meta.length == docs.count())
-    assert(meta.forall(m => m.n_bytes > 0))
-    assert(meta.map(_.media_type).toSet.subsetOf(Set("image", "audio", "video")))
-    assert(meta.filter(_.media_type == "audio").forall(m => m.sample_rate == 16000 && m.width == 0))
-    assert(meta.filter(_.media_type == "image").forall(m => m.n_frames == 1 && m.width >= 64))
-    // pure-column variant agrees with the stub on byte length
-    val cols = Multimodal.metaColumns(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    meta.foreach(m => assert(cols(m.doc_id) == m.n_bytes))
+    assert(meta.forall(m => m.n_bytes > 0 && m.media_type != "unknown"))
+    assert(meta.map(_.media_type).toSet == Set("png", "wav", "bmp"))
+    assert(meta.filter(_.media_type == "wav").forall(m =>
+      Set(8000, 16000, 22050, 44100).contains(m.sample_rate) && m.width == 0))
+    assert(meta.filter(_.media_type != "wav").forall(m => m.n_frames == 1 && m.width >= 4))
   }
 
   test("language id picks the language with most stopword hits, deterministic ties") {
