@@ -170,12 +170,15 @@ object SparkEntry {
     }),
 
     // R4: raw-log sink projection, masked + unmasked (mysqldb.go:161-238);
-    // request_ts surfaced as epoch seconds for engine-agnostic comparison
+    // request_ts surfaced as epoch seconds and the INET6_ATON binary IP as
+    // hex for engine-agnostic comparison
     "r4_rawlog" -> ((s, d) => Route.rawLogProjection(parsed(s, d), maskIps = false)
-      .withColumn("request_ts", unix_timestamp(col("request_ts")))),
+      .withColumn("request_ts", unix_timestamp(col("request_ts")))
+      .withColumn("client_ip_hex", hex(col("client_ip_bin"))).drop("client_ip_bin")),
 
     "r4_rawlog_masked" -> ((s, d) => Route.rawLogProjection(parsed(s, d), maskIps = true)
-      .withColumn("request_ts", unix_timestamp(col("request_ts")))),
+      .withColumn("request_ts", unix_timestamp(col("request_ts")))
+      .withColumn("client_ip_hex", hex(col("client_ip_bin"))).drop("client_ip_bin")),
 
     // R6: counter-report-shaped aggregate — per-dimension top-10 shrink
     // (A4/A5) via the two-stage bounded-heap aggregate + the six grand
@@ -237,6 +240,14 @@ object SparkEntry {
       .select(col("a_id"), col("b_id"), col("jaccard"))),
 
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDups(t(s, d)("documents"), 3)),
+
+    // cluster formation: connected components over the MinHash near-dup pair
+    // set (min-label propagation + pointer jumping), every doc mapped to its
+    // canonical keeper — the join table a 100 TB dedup actually applies
+    "dedup_clusters" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      Dedup.clusterMap(docs, Dedup.minhashNearDups(docs, 0.5))
+    }),
 
     // registered query IS the LSH scale path (bucket equi-join, no O(n²)
     // cross join); the brute variant stays as the test-side recall oracle
@@ -417,6 +428,12 @@ object SparkEntry {
         """SELECT conv_id, turn_idx, 0 AS host_id,
           |  CAST(epoch_ms(log_ts) // 1000 - tz_offset_sec AS BIGINT) AS request_ts,
           |  client_ip,
+          |  CASE WHEN regexp_matches(client_ip, '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$')
+          |       THEN upper(lpad(hex(CAST(split_part(client_ip, '.', 1) AS BIGINT)), 2, '0') ||
+          |            lpad(hex(CAST(split_part(client_ip, '.', 2) AS BIGINT)), 2, '0') ||
+          |            lpad(hex(CAST(split_part(client_ip, '.', 3) AS BIGINT)), 2, '0') ||
+          |            lpad(hex(CAST(split_part(client_ip, '.', 4) AS BIGINT)), 2, '0'))
+          |       ELSE NULL END AS client_ip_hex,
           |  substr(remote_user, 1, 100) AS remote_user,
           |  substr(method, 1, 20) AS http_method,
           |  substr(CASE WHEN path3 <> '' THEN path3 WHEN path2 <> '' THEN path2
@@ -435,6 +452,7 @@ object SparkEntry {
         """SELECT conv_id, turn_idx, 0 AS host_id,
           |  CAST(epoch_ms(log_ts) // 1000 - tz_offset_sec AS BIGINT) AS request_ts,
           |  CAST(NULL AS VARCHAR) AS client_ip,
+          |  CAST(NULL AS VARCHAR) AS client_ip_hex,
           |  substr(remote_user, 1, 100) AS remote_user,
           |  substr(method, 1, 20) AS http_method,
           |  substr(CASE WHEN path3 <> '' THEN path3 WHEN path2 <> '' THEN path2
@@ -557,6 +575,32 @@ object SparkEntry {
            |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id
            |)
            |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+      // the oracle re-derives the LSH pairs like dedup_minhash, then computes
+      // connected components INDEPENDENTLY via a recursive reachability CTE
+      // and takes min reachable id per vertex
+      "dedup_clusters" ->
+        s"""WITH RECURSIVE b AS (SELECT * FROM read_parquet('${OracleSql.minhashBandsGlob}')),
+           |d AS (SELECT * FROM read_parquet('${OracleSql.docSigsGlob}')),
+           |cand AS (
+           |  SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+           |  FROM b x JOIN b y ON x.band = y.band AND x.band_key = y.band_key AND x.doc_id < y.doc_id
+           |),
+           |p AS (
+           |  SELECT a_id, b_id FROM cand
+           |  JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id
+           |  WHERE CAST(len(list_intersect(da.shingles, db.shingles)) AS DOUBLE) /
+           |    (len(da.shingles) + len(db.shingles) - len(list_intersect(da.shingles, db.shingles))) >= 0.5
+           |),
+           |e AS (SELECT a_id AS s, b_id AS t FROM p UNION SELECT b_id, a_id FROM p),
+           |reach AS (
+           |  SELECT s AS id, t AS r FROM e
+           |  UNION
+           |  SELECT reach.id, e.t FROM reach JOIN e ON reach.r = e.s
+           |),
+           |k AS (SELECT id, least(id, min(r)) AS keep_id FROM reach GROUP BY id)
+           |SELECT doc_id, coalesce(k.keep_id, doc_id) AS keep_id
+           |FROM documents LEFT JOIN k ON doc_id = k.id""".stripMargin,
 
       "dedup_simhash" ->
         s"""WITH d AS (SELECT doc_id, simhash FROM read_parquet('${OracleSql.docSigsGlob}')),

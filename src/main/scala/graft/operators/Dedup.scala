@@ -124,6 +124,60 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
   }
 
+  // ------------------------------------------------------------- clusters
+  /** Connected-component cluster formation over a near-dup pair set — the
+    * last step of the dedup story at scale: every document in a component
+    * maps to the component's canonical keeper (its minimum doc_id), so a
+    * single broadcast-or-shuffle join against (doc_id, keep_id) dedups the
+    * corpus.
+    *
+    * Algorithm: min-label propagation with per-round pointer jumping. Each
+    * round every vertex takes the min of (its label, its neighbors' labels,
+    * its label's label) — the propagation step alone converges in
+    * O(component diameter) rounds, and the shortcut step (follow your
+    * label's label) halves remaining path lengths, giving O(log d) rounds
+    * overall. LSH near-dup components are near-cliques (diameter ≤ 2-3
+    * typically), so 2-3 rounds is the norm. Each round is two equi-joins +
+    * one aggregation on 16-byte (id, lbl) rows — ids only, never text or
+    * vectors. localCheckpoint() truncates lineage so the plan stays
+    * constant-size across iterations instead of doubling every round.
+    */
+  def clusters(pairs: DataFrame): DataFrame = {
+    val edges = pairs
+      .select(col("a_id").cast("long").as("src"), col("b_id").cast("long").as("dst"))
+      .union(pairs.select(col("b_id").cast("long").as("src"), col("a_id").cast("long").as("dst")))
+      .localCheckpoint()
+    var labels = edges.groupBy(col("src"))
+      .agg(min(col("dst")).as("m"))
+      .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
+      .localCheckpoint()
+    var changed = 1L
+    while (changed > 0) {
+      val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), "src")
+        .select(col("dst").as("id"), col("lbl"))
+      val viaPtr = labels.alias("x")
+        .join(labels.alias("y"), col("x.lbl") === col("y.id"))
+        .select(col("x.id").as("id"), col("y.lbl").as("lbl"))
+      val next = labels.union(viaEdges).union(viaPtr)
+        .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
+        .localCheckpoint()
+      changed = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .filter(col("n.lbl") =!= col("o.lbl"))
+        .count()
+      labels = next
+    }
+    labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))
+  }
+
+  /** Full corpus dedup map: every doc_id → its keeper (itself when the doc
+    * is in no near-dup pair).
+    */
+  def clusterMap(docs: DataFrame, pairs: DataFrame): DataFrame =
+    docs.select(col("doc_id"))
+      .join(clusters(pairs), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("keep_id"), col("doc_id")).as("keep_id"))
+
   // -------------------------------------------------------------- simhash
   /** 64-bit SimHash over token hashes */
   def simhash(text: String): Long = {

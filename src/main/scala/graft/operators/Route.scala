@@ -100,34 +100,55 @@ object Route {
       lit(false).as("IsOutOfOrder")): _*)
   }
 
+  /** Go/MySQL byte-length truncation: the reference's ReduceToMaxColumnLen
+    * slices BYTES (Go `str[:n]`, mysqldb.go:226-238), not characters. For
+    * multi-byte UTF-8 values the two diverge (and Go will happily cut a rune
+    * in half); slicing through BinaryType reproduces the exact byte
+    * semantics. The fast path (`octet_length <= n`, every ASCII value) never
+    * leaves StringType.
+    */
+  private def byteTrunc(c: Column, n: Int): Column =
+    when(octet_length(c) <= n, c)
+      .otherwise(substring(c.cast("binary"), 1, n).cast("string"))
+
+  /** last-n-BYTES variant (the masked-UA rule, mysqldb.go:208,232-238) */
+  private def byteTruncLast(c: Column, n: Int): Column =
+    when(octet_length(c) <= n, c)
+      .otherwise(substring(c.cast("binary"), -n, n).cast("string"))
+
   /** R4 raw-log projection: IP masking + per-column truncation, constants
     * exactly as the reference's ReduceToMaxColumnLen calls
     * (db/mysqldb.go:161-238): remote_user/path3/request_uri/referer/ua 100,
-    * http_method and the five UA classification columns 20. Masked UA keeps
-    * the LAST 100 chars (mysqldb.go:208/:232-238); everything else keeps the
-    * first N. path3 falls back path3→path2→path1 and stays empty when all
-    * are empty (mysqldb.go:176-182). host_id mirrors the sbo_rawlogs column
-    * (mysqldb.go:162-165).
+    * http_method and the five UA classification columns 20 — all BYTE
+    * lengths, like Go slicing. Masked UA keeps the LAST 100 bytes
+    * (mysqldb.go:208/:232-238); everything else keeps the first N. path3
+    * falls back path3→path2→path1 and stays empty when all are empty
+    * (mysqldb.go:176-182). host_id mirrors the sbo_rawlogs column
+    * (mysqldb.go:162-165). client_ip_bin is the INET6_ATON binary form the
+    * reference actually stores (mysqldb.go:168-175): 4/16 bytes, NULL when
+    * masked or unparseable.
     */
   def rawLogProjection(parsed: DataFrame, maskIps: Boolean, hostId: Int = 0): DataFrame = {
     val ip = if (maskIps) lit(null).cast("string") else col("client_ip")
-    val uaTrunc = if (maskIps)
-      when(length(col("ua_full")) > 100, substring(col("ua_full"), -100, 100)).otherwise(col("ua_full"))
-    else substring(col("ua_full"), 0, 100)
-    def t20(c: String) = substring(col(c), 0, 20).as(c)
+    val inetAtonUdf = udf((s: String) => graft.parse.Inet.inetAton(s))
+    val ipBin = if (maskIps) lit(null).cast("binary") else inetAtonUdf(col("client_ip"))
+    val uaTrunc = if (maskIps) byteTruncLast(col("ua_full"), 100)
+    else byteTrunc(col("ua_full"), 100)
+    def t20(c: String) = byteTrunc(col(c), 20).as(c)
     parsed.select(
       col("conv_id"), col("turn_idx"),
       lit(hostId).as("host_id"),
       col("log_ts").as("request_ts"),
       ip.as("client_ip"),
-      substring(col("remote_user"), 0, 100).as("remote_user"),
-      substring(col("method"), 0, 20).as("http_method"),
-      substring(coalesce(nullif(col("path3"), lit("")), nullif(col("path2"), lit("")),
-        nullif(col("path1"), lit("")), lit("")), 0, 100).as("path3"),
-      substring(col("path"), 0, 100).as("request_uri"),
+      ipBin.as("client_ip_bin"),
+      byteTrunc(col("remote_user"), 100).as("remote_user"),
+      byteTrunc(col("method"), 20).as("http_method"),
+      byteTrunc(coalesce(nullif(col("path3"), lit("")), nullif(col("path2"), lit("")),
+        nullif(col("path1"), lit("")), lit("")), 100).as("path3"),
+      byteTrunc(col("path"), 100).as("request_uri"),
       col("status").as("http_status"),
       col("bytes_sent"),
-      substring(col("referer"), 0, 100).as("referer"),
+      byteTrunc(col("referer"), 100).as("referer"),
       col("malicious").as("is_malicious"),
       uaTrunc.as("ua_string"),
       t20("ua_os"), t20("ua_family"), t20("ua_device_type"), t20("ua_human"), t20("ua_intent"))

@@ -147,7 +147,7 @@ class PipelineAppSpec extends AnyFunSuite with SparkTestBase {
     assert(masked.filter(col("client_ip").isNotNull).count() == 0)
     val unmasked = graft.operators.Route.rawLogProjection(parsed, maskIps = false)
     assert(unmasked.filter(col("client_ip").isNull).count() == 0)
-    // truncation semantics on a crafted long UA
+    // truncation semantics on a crafted long UA (ASCII: bytes == chars)
     val expanse = parsed.filter(col("ua_full").startsWith("Expanse")).limit(1)
     if (expanse.count() > 0) {
       val full = expanse.collect()(0).getAs[String]("ua_full")
@@ -156,5 +156,77 @@ class PipelineAppSpec extends AnyFunSuite with SparkTestBase {
       val u = graft.operators.Route.rawLogProjection(expanse, maskIps = false).collect()(0)
       assert(u.getAs[String]("ua_string") == full.take(100))
     }
+    // INET6_ATON binary parity (mysqldb.go:168-175): 4 raw bytes per IPv4,
+    // NULL under masking
+    val bin = unmasked.select(col("client_ip"), col("client_ip_bin")).limit(20).collect()
+    bin.foreach { r =>
+      val expectBytes = r.getString(0).split("\\.").map(_.toInt.toByte)
+      assert(r.getAs[Array[Byte]](1).toSeq == expectBytes.toSeq)
+    }
+    assert(masked.filter(col("client_ip_bin").isNotNull).count() == 0)
+  }
+
+  test("accumulate metrics (ReplaceExistingMetrics=false) sums across runs (mysqldb.go:147-151)") {
+    import graft.operators.{Aggregates, Enrich, Sinks}
+    import spark.implicits._
+    val parsed = ParseStage.parse(spark.createDataset(Tables.localTurns(2000)).toDF())
+    val dim = Enrich.withDomainId(parsed).select("conv_id", "domain_id").distinct()
+    def metricsOf(df: org.apache.spark.sql.DataFrame) = Aggregates.metricRows(df)
+    val halfA = parsed.filter(col("turn_idx") % 2 === 0)
+    val halfB = parsed.filter(col("turn_idx") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-acc").toString + "/metrics"
+    // two incremental accumulate runs over overlapping windows...
+    Sinks.writeMetrics(metricsOf(halfA), dim, dir, replace = false)
+    Sinks.writeMetrics(metricsOf(halfB), dim, dir, replace = false)
+    val accumulated = spark.read.parquet(dir)
+      .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
+      .collect().map(_.toSeq).toSet
+    // ...must equal one full-input run (keys re-sum, never duplicate)
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-acc-full").toString + "/metrics"
+    Sinks.writeMetrics(metricsOf(parsed), dim, dirFull, replace = true)
+    val full = spark.read.parquet(dirFull)
+      .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
+      .collect().map(_.toSeq).toSet
+    assert(accumulated == full)
+    // replace=true drops the previous content entirely
+    Sinks.writeMetrics(metricsOf(halfA), dim, dir, replace = true)
+    val replaced = spark.read.parquet(dir)
+      .agg(org.apache.spark.sql.functions.sum("metric_value")).collect()(0).getLong(0)
+    val halfOnly = metricsOf(halfA)
+      .agg(org.apache.spark.sql.functions.sum("metric_value")).collect()(0).getLong(0)
+    assert(replaced == halfOnly)
+  }
+
+  test("raw-log truncation slices BYTES like Go str[:n], not characters (mysqldb.go:226-238)") {
+    import spark.implicits._
+    // 40 × '€' (3 UTF-8 bytes each) = 120 bytes, 40 chars: Go's str[:100]
+    // keeps 33 whole runes + 1 dangling byte; char-substr would keep 100
+    // chars (the whole string). One row shaped like a parsed row.
+    val euros = "€" * 40
+    val goBytes = euros.getBytes("UTF-8").take(100).toSeq
+    val row = Seq(("c1", 0, null: String, "2025-11-17T00:00:00Z", euros, "GET",
+      "/x", "/x", "", "", "HTTP/1.1", "200", 10L, "", 0))
+      .toDF("conv_id", "turn_idx", "log_ts_s", "ts", "remote_user", "method",
+        "path", "path1", "path2", "path3", "protocol", "status", "bytes_sent",
+        "referer", "malicious")
+      .withColumn("log_ts", col("log_ts_s").cast("timestamp"))
+      .withColumn("tz_offset_sec", lit(0))
+      .withColumn("client_ip", lit("10.0.0.1"))
+      .withColumn("ua_full", lit(euros + "tail"))
+      .withColumn("ua_os", lit("o")).withColumn("ua_family", lit("f"))
+      .withColumn("ua_device_type", lit("d")).withColumn("ua_human", lit("h"))
+      .withColumn("ua_intent", lit("i"))
+    val out = graft.operators.Route.rawLogProjection(row, maskIps = false)
+      .select(col("remote_user").cast("binary"), col("ua_string").cast("binary"))
+      .collect()(0)
+    assert(out.getAs[Array[Byte]](0).toSeq == goBytes,
+      "remote_user must carry Go's exact first-100-byte slice (mid-rune cut included)")
+    assert(out.getAs[Array[Byte]](1).toSeq ==
+      (euros + "tail").getBytes("UTF-8").take(100).toSeq)
+    // masked path keeps the LAST 100 bytes
+    val m = graft.operators.Route.rawLogProjection(row, maskIps = true)
+      .select(col("ua_string").cast("binary")).collect()(0)
+    assert(m.getAs[Array[Byte]](0).toSeq ==
+      (euros + "tail").getBytes("UTF-8").takeRight(100).toSeq)
   }
 }

@@ -44,6 +44,39 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(recall >= 0.95, s"minhash recall $recall (found ${found.size} of ${brute.size})")
   }
 
+  test("cluster formation: components collapse to min-id keepers, chains included") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3 → needs real iteration, not one-hop min),
+    // pair 5-6, isolated 7
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (5L, 6L)).toDF("a_id", "b_id")
+    val ids = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L).toDF("doc_id")
+    val got = Dedup.clusterMap(ids, pairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 5L, 6L -> 5L, 7L -> 7L))
+    // empty pair set: everything keeps itself
+    val solo = Dedup.clusterMap(ids, pairs.limit(0)).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(solo == (1L to 7L).map(i => i -> i).toMap)
+    // real pair set: keepers are component minima — cross-check against a
+    // driver-side union-find over the same pairs
+    val realPairs = Dedup.minhashNearDups(crafted, 0.5).select("a_id", "b_id")
+    val pairList = realPairs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairList.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val expected = pairList.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(x => x -> find(x)).toMap
+    val gotReal = Dedup.clusters(realPairs).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(gotReal == expected)
+  }
+
   test("simhash near-dups: banding finds all pairs within hamming distance") {
     val sigs = crafted.collect().map(r => (r.getLong(0), Dedup.simhash(r.getString(1))))
     val brute = (for {

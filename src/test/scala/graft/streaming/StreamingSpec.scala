@@ -58,6 +58,48 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(lastTickTotals.map(_.trim) == batchTotals.map(_.trim))
   }
 
+  test("log rotation: drain + reopen loses no rows (main.go:801-924 analog)") {
+    // The reference tails a PATH: on fsnotify Rename/Remove it drains the old
+    // handle, then reopens the recreated file (5×1s retries). The cluster
+    // analog is a directory source where each rotation product arrives as a
+    // NEW file: the drained tail (rows appended between the last poll and
+    // the rename) lands in the rotated-away file, the reopened file carries
+    // post-rotation rows. Contract under test: across
+    // live-file → rotation(drain) → recreated-file, every row is ingested
+    // exactly once.
+    import spark.implicits._
+    val turns = Tables.localTurns(800)
+    val dir = java.nio.file.Files.createTempDirectory("graft-rotate").toString
+
+    def addFile(name: String, rows: Seq[graft.model.TranscriptTurn]): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-rotate-part").toString
+      spark.createDataset(rows).coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet")).get
+      java.nio.file.Files.move(part.toPath, java.nio.file.Paths.get(dir, name))
+    }
+
+    // phase 1: the live file
+    addFile("access.parquet", turns.slice(0, 500))
+    val stream = StreamingPipeline.readTranscriptStream(spark, dir)
+    val q = stream.writeStream.format("memory").queryName("rotated")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("rotated").count() == 500)
+      // phase 2: rotation — the drained tail arrives under the rotated name,
+      // the recreated live file under the original-name successor
+      addFile("access.parquet.1", turns.slice(500, 600)) // drain before close
+      addFile("access-reopened.parquet", turns.slice(600, 800))
+      q.processAllAvailable()
+    } finally q.stop()
+    val got = spark.table("rotated").select("conv_id", "turn_idx").collect()
+      .map(r => (r.getString(0), r.getInt(1)))
+    assert(got.length == 800, s"rows lost or doubled across rotation: ${got.length}")
+    assert(got.distinct.length == 800)
+    assert(got.toSet == turns.map(t => (t.conv_id, t.turn_idx)).toSet)
+  }
+
   test("stateful conversation progress tracks every conversation") {
     val stream = StreamingPipeline.readTranscriptStream(spark, dir)
     val q = StreamingPipeline.conversationProgress(spark, stream)
