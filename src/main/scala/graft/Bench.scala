@@ -170,6 +170,7 @@ object Bench {
       "dedup_minhash" -> SparkEntry.queries("dedup_minhash"),
       "dedup_simhash" -> SparkEntry.queries("dedup_simhash"),
       "dedup_embedding" -> SparkEntry.queries("dedup_embedding"),
+      "dedup_clusters" -> SparkEntry.queries("dedup_clusters"),
       "ann_topk" -> SparkEntry.queries("ann_topk"),
       "ann_lsh" -> SparkEntry.queries("ann_lsh"),
       "ann_ivf" -> SparkEntry.queries("ann_ivf"),
@@ -177,7 +178,8 @@ object Bench {
       "text_quality" -> SparkEntry.queries("text_quality"),
       "text_tokens" -> SparkEntry.queries("text_tokens"),
       "text_fingerprint" -> SparkEntry.queries("text_fingerprint"),
-      "mm_binary_meta" -> SparkEntry.queries("mm_binary_meta"))
+      "mm_binary_meta" -> SparkEntry.queries("mm_binary_meta"),
+      "mm_decode" -> SparkEntry.queries("mm_decode"))
 
     // best of 3 runs per query: the first pays JIT/compile costs, the rest
     // measure the steady-state plan; all full executions, nothing cached.
@@ -236,9 +238,36 @@ object Bench {
     // 3 rounds ≈ 8-9 min of scaling samples: 6 per quantity, and the whole
     // bench stays near the round-1 driver runtime (a driver-side timeout
     // that truncates the run would lose the artifact entirely)
-    val rounds = (1 to 3).map { _ =>
+    var rounds = (1 to 3).map { _ =>
       (rawMin(8, 2), jobBlock(8, 2), rawMin(32, 2), jobBlock(32, 2))
     }
+    // Noise guard (VERDICT r2 item 10): the raw parse ratio is a property of
+    // the MACHINE, so it should be stable run-to-run; if this run's value
+    // deviates >20% from the median of past runs (data/bench_history.jsonl),
+    // the whole scaling block likely sampled a polluted window — take two
+    // extra rounds before settling (bounded: at most once per run).
+    val histPath = java.nio.file.Paths.get("/root/repo/data/bench_history.jsonl")
+    def ratioOf(rs: Seq[(Double, Seq[Double], Double, Seq[Double])]): Double =
+      rs.map(_._1).min / rs.map(_._3).min
+    val past: Seq[Double] =
+      if (java.nio.file.Files.exists(histPath))
+        scala.jdk.CollectionConverters.ListHasAsScala(
+          java.nio.file.Files.readAllLines(histPath)).asScala.toSeq
+          .flatMap(l => scala.util.Try(l.trim.toDouble).toOption)
+      else Seq.empty
+    if (past.size >= 2) {
+      val med = past.sorted.apply(past.size / 2)
+      if (math.abs(ratioOf(rounds) - med) / med > 0.2) {
+        System.err.println(s"[bench] raw ratio ${ratioOf(rounds)} deviates >20% " +
+          s"from historical median $med — sampling 2 extra rounds")
+        rounds = rounds ++ (1 to 2).map { _ =>
+          (rawMin(8, 2), jobBlock(8, 2), rawMin(32, 2), jobBlock(32, 2))
+        }
+      }
+    }
+    java.nio.file.Files.createDirectories(histPath.getParent)
+    java.nio.file.Files.writeString(histPath, f"${ratioOf(rounds)}%.4f%n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
     val raw8 = rounds.map(_._1).min
     val t8 = rounds.flatMap(_._2).min
     val raw32 = rounds.map(_._3).min

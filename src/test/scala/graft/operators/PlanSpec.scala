@@ -75,6 +75,15 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedup_clusters: label propagation shuffles ids only — no cartesian, no text columns") {
+    val df = SparkEntry.queries("dedup_clusters")(spark, sf)
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    // the final map carries only (doc_id, keep_id) — no text reaches the output plan
+    assert(df.schema.fieldNames.toSeq == Seq("doc_id", "keep_id"))
+  }
+
   test("salted fan-out exchanges on (conv_id, salt) and sorts within partitions") {
     import org.apache.spark.sql.functions._
     val parsed = ParseStage.parse(graft.sources.Tables.transcripts(spark, sf)).limit(10)
