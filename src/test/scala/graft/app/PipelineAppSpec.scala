@@ -137,6 +137,11 @@ class PipelineAppSpec extends AnyFunSuite with SparkTestBase {
     // no --default-- entry → per-source entries parse standalone
     val solo = MultiJobConfig.fromJson("""{"/var/log/c": {"HostId": 2}}""")
     assert(solo.head._2.hostId == 2 && solo.head._2.timeWindowSizeMinutes == 10)
+    // --OS-metrics-- entry is surfaced (default-merged), not discarded
+    val os = MultiJobConfig.osMetricsConfig(json)
+    assert(os.map(_.hostId).contains(3))
+    assert(os.map(_.timeWindowSizeMinutes).contains(5)) // inherited from --default--
+    assert(MultiJobConfig.osMetricsConfig("""{"/var/log/c": {"HostId": 2}}""").isEmpty)
   }
 
   test("masked raw logs null the IP and keep the LAST 100 UA chars (mysqldb.go:208)") {
