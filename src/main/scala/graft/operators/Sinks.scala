@@ -25,13 +25,17 @@ object Sinks {
     * shape here is atomic on HDFS-like filesystems and the best plain
     * parquet can do.
     */
-  def writeMetrics(metricRows: DataFrame, domainDim: DataFrame, outDir: String,
-      replace: Boolean = true): Unit = {
-    val spark = metricRows.sparkSession
-    val withDomain = metricRows
+  /** the sink's row shape: domain-id broadcast join + key truncation */
+  def withDomainRows(metricRows: DataFrame, domainDim: DataFrame): DataFrame =
+    metricRows
       .join(broadcast(domainDim), Seq("conv_id"), "left")
       .withColumn("key_value", substring(col("key_value"), 0, 100))
       .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
+
+  def writeMetrics(metricRows: DataFrame, domainDim: DataFrame, outDir: String,
+      replace: Boolean = true): Unit = {
+    val spark = metricRows.sparkSession
+    val withDomain = withDomainRows(metricRows, domainDim)
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(outDir)
     val fs = target.getFileSystem(hconf)

@@ -100,6 +100,37 @@ class StreamingSpec extends AnyFunSuite with SparkTestBase {
     assert(got.toSet == turns.map(t => (t.conv_id, t.turn_idx)).toSet)
   }
 
+  test("streaming metrics with accumulate sink: micro-batches sum to the batch table (R3 streaming mode)") {
+    // The reference's real operating mode: stream the file, accumulate
+    // metric increments into the DB (ReplaceExistingMetrics=false,
+    // mysqldb.go:147-151). Spark shape: foreachBatch → read-merge-write.
+    // Contract: after N micro-batches the sink equals one batch recompute.
+    import graft.operators.{Aggregates, Enrich, Sinks}
+    val out = java.nio.file.Files.createTempDirectory("graft-stream-acc").toString + "/metrics"
+    val batchParsed = ParseStage.parse(spark.read.parquet(dir))
+    val dim = Enrich.withDomainId(batchParsed).select("conv_id", "domain_id").distinct()
+      .collect() // freeze the dimension so every micro-batch maps ids identically
+    val dimDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(dim.toIndexedSeq),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("conv_id", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("domain_id", org.apache.spark.sql.types.IntegerType))))
+    val stream = spark.readStream.schema(StreamingPipeline.transcriptSchema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val q = stream.writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Sinks.writeMetrics(Aggregates.metricRows(ParseStage.parse(batch)), dimDf, out, replace = false)
+        ()
+      }.start()
+    try q.processAllAvailable() finally q.stop()
+    val streamed = spark.read.parquet(out)
+      .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
+      .collect().map(_.toSeq).toSet
+    val full = Sinks.withDomainRows(Aggregates.metricRows(batchParsed), dimDf)
+      .collect().map(_.toSeq).toSet
+    assert(streamed == full)
+  }
+
   test("stateful conversation progress tracks every conversation") {
     val stream = StreamingPipeline.readTranscriptStream(spark, dir)
     val q = StreamingPipeline.conversationProgress(spark, stream)
