@@ -202,6 +202,28 @@ class PipelineAppSpec extends AnyFunSuite with SparkTestBase {
     assert(replaced == halfOnly)
   }
 
+  test("writerV2 metrics table: createOrReplace + accumulate merge against the catalog") {
+    import graft.operators.{Aggregates, Enrich, Sinks}
+    import spark.implicits._
+    val parsed = ParseStage.parse(spark.createDataset(Tables.localTurns(1000)).toDF())
+    val dim = Enrich.withDomainId(parsed).select("conv_id", "domain_id").distinct()
+    val halfA = parsed.filter(col("turn_idx") % 2 === 0)
+    val halfB = parsed.filter(col("turn_idx") % 2 =!= 0)
+    val table = "graft_metrics_v2_test"
+    Sinks.writeMetricsTable(Aggregates.metricRows(halfA), dim, table, replace = false)
+    Sinks.writeMetricsTable(Aggregates.metricRows(halfB), dim, table, replace = false)
+    val accumulated = spark.table(table)
+      .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
+      .collect().map(_.toSeq).toSet
+    val full = Sinks.withDomainRows(Aggregates.metricRows(parsed), dim)
+      .collect().map(_.toSeq).toSet
+    assert(accumulated == full)
+    // replace drops previous content; table stays partitioned by metric_type
+    Sinks.writeMetricsTable(Aggregates.metricRows(halfA), dim, table, replace = true)
+    assert(spark.table(table).count() == Aggregates.metricRows(halfA).count())
+    spark.sql(s"DROP TABLE $table")
+  }
+
   test("raw-log truncation slices BYTES like Go str[:n], not characters (mysqldb.go:226-238)") {
     import spark.implicits._
     // 40 × '€' (3 UTF-8 bytes each) = 120 bytes, 40 chars: Go's str[:100]
