@@ -19,19 +19,43 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** deterministic random hyperplanes: plane (table,p) component d in {-1,+1}
-    * from splitmix of the (table, plane, dim) triple
+    * from splitmix of the (table, plane, dim) triple. The planes are
+    * CONSTANTS of (planes, tables, dim) — they are materialized once per JVM
+    * and reused for every vector (the original form recomputed the splitmix
+    * hash for all table×plane×dim components per row: ~5k hash evaluations
+    * per vector, CPU-hours at 10⁹ vectors for values that never change).
+    * ±1.0 double multiplication is exact, so the cached form is
+    * bit-identical to hashing inline — the synth-time-pinned signature
+    * tables stay valid.
     */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Array[Double]]]()
+
+  private def planeSigns(planes: Int, tables: Int, dim: Int): Array[Array[Double]] =
+    planeCache.computeIfAbsent((planes, tables, dim), _ =>
+      Array.tabulate(tables * planes) { tp =>
+        val t = tp / planes
+        val p = tp % planes
+        Array.tabulate(dim) { d =>
+          val r = graft.sources.TranscriptGen.mix((t.toLong * 8191L + p.toLong) * 131071L + d.toLong)
+          if ((r & 1L) == 0L) -1.0 else 1.0
+        }
+      })
+
   def hyperplaneSig(v: Seq[Float], planes: Int, table: Int): Int = {
+    val arr = v.toArray
+    hyperplaneSigArr(arr, planeSigns(planes, 1 + table, arr.length), planes, table)
+  }
+
+  private def hyperplaneSigArr(v: Array[Float], signs: Array[Array[Double]],
+      planes: Int, table: Int): Int = {
     var sig = 0
     var p = 0
     while (p < planes) {
+      val row = signs(table * planes + p)
       var dot = 0.0
       var d = 0
-      while (d < v.length) {
-        val r = graft.sources.TranscriptGen.mix((table.toLong * 8191L + p.toLong) * 131071L + d.toLong)
-        dot += v(d) * (if ((r & 1L) == 0L) -1.0 else 1.0)
-        d += 1
-      }
+      while (d < v.length) { dot += v(d) * row(d); d += 1 }
       if (dot > 0) sig |= (1 << p)
       p += 1
     }
@@ -41,8 +65,12 @@ object Similarity {
   /** per-table signatures, encoded as table*2^planes + sig so one equi-join
     * key covers all L tables
     */
-  def tableSigs(v: Seq[Float], planes: Int, tables: Int): Array[Long] =
-    Array.tabulate(tables)(t => t.toLong * (1L << planes) + hyperplaneSig(v, planes, t))
+  def tableSigs(v: Seq[Float], planes: Int, tables: Int): Array[Long] = {
+    val arr = v.toArray
+    val signs = planeSigns(planes, tables, arr.length)
+    Array.tabulate(tables)(t =>
+      t.toLong * (1L << planes) + hyperplaneSigArr(arr, signs, planes, t))
+  }
 
   private def sigsUdf(planes: Int, tables: Int) =
     udf((v: Seq[Float]) => tableSigs(v, planes, tables))
