@@ -36,10 +36,16 @@ object Dedup {
 
   // -------------------------------------------------------------- minhash
   /** deterministic 64-bit string hash (FNV-1a) shared by tests */
-  def fnv1a(s: String): Long = {
+  def fnv1a(s: String): Long = fnv1aRange(s, 0, s.length)
+
+  /** fnv1a over s[from, until) — value-identical to fnv1a(s.substring(...))
+    * without the per-call substring allocation (winnowing hashes every
+    * k-gram of every document; the copies were pure GC churn)
+    */
+  def fnv1aRange(s: String, from: Int, until: Int): Long = {
     var h = 0xcbf29ce484222325L
-    var i = 0
-    while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
+    var i = from
+    while (i < until) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 }
     h
   }
 
@@ -53,19 +59,30 @@ object Dedup {
     else Array.tabulate(toks.length - n + 1)(i => fnv1a(toks.slice(i, i + n).mkString(" ")))
   }
 
+  /** the k affine-permutation coefficients — constants of j, derived from
+    * splitmix of the seed; materialized once per JVM instead of re-hashed
+    * per (shingle, j) pair (same constant-recompute trap as the LSH
+    * hyperplanes — it was ~2k hash evaluations per document for values that
+    * never change)
+    */
+  private val permCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, (Array[Long], Array[Long])]()
+  private def permCoeffs(k: Int): (Array[Long], Array[Long]) =
+    permCache.computeIfAbsent(k, _ => (
+      Array.tabulate(k)(j => graft.sources.TranscriptGen.mix(j.toLong * 2 + 1) | 1L),
+      Array.tabulate(k)(j => graft.sources.TranscriptGen.mix(j.toLong * 2 + 2))))
+
   /** k minhash values via k affine permutations of one base hash */
   def minhashSig(text: String, k: Int): Array[Long] = {
     val hs = shingleHashes(text)
+    val (as, bs) = permCoeffs(k)
     val sig = Array.fill(k)(Long.MaxValue)
     var i = 0
     while (i < hs.length) {
       val h = hs(i)
       var j = 0
       while (j < k) {
-        // odd multipliers from splitmix of the seed — a deterministic family
-        val a = graft.sources.TranscriptGen.mix(j.toLong * 2 + 1) | 1L
-        val b = graft.sources.TranscriptGen.mix(j.toLong * 2 + 2)
-        val v = a * h + b
+        val v = as(j) * h + bs(j)
         if (v < sig(j)) sig(j) = v
         j += 1
       }

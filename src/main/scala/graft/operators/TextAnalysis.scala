@@ -96,7 +96,7 @@ object TextAnalysis {
   /** winnowing: k-gram char hashes, window w, keep per-window minimum */
   def winnow(s: String, k: Int = 8, w: Int = 16): Array[Long] = {
     if (s.length < k) return Array(polyHash(s))
-    val grams = Array.tabulate(s.length - k + 1)(i => Dedup.fnv1a(s.substring(i, i + k)))
+    val grams = Array.tabulate(s.length - k + 1)(i => Dedup.fnv1aRange(s, i, i + k))
     val out = scala.collection.mutable.LinkedHashSet.empty[Long]
     var i = 0
     while (i + w <= grams.length) {
