@@ -282,6 +282,14 @@ object SparkEntry {
 
     "text_tokens" -> ((s, d) => TextAnalysis.tokenCounts(t(s, d)("documents"))),
 
+    // canonical one-shuffle wordcount over the corpus
+    "text_vocab" -> ((s, d) => TextAnalysis.vocab(t(s, d)("documents"))),
+
+    // deterministic content-hash train/val/test split (reproducible across
+    // reruns/partitionings — no RNG state); oracle re-derives bucket/split
+    // arithmetic over the pinned xxh64 column
+    "sample_split" -> ((s, d) => TextAnalysis.hashSplit(t(s, d)("documents"))),
+
     "text_fingerprint" -> ((s, d) => TextAnalysis.fingerprints(t(s, d)("documents"))
       .select(col("doc_id"), col("fingerprint"), size(col("winnow_set")).as("n_winnow"))),
 
@@ -699,6 +707,19 @@ object SparkEntry {
           |  len(list_filter(str_split_regex(text, '\s+'), x -> len(x) > 0)) AS ws_tokens,
           |  len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS bpeish_tokens
           |FROM documents""".stripMargin,
+
+      "text_vocab" ->
+        """SELECT token, count(*) AS cnt FROM (
+          |  SELECT unnest(list_filter(str_split_regex(lower(text), '[^a-z]+'), x -> len(x) > 0)) AS token
+          |  FROM documents
+          |) GROUP BY 1""".stripMargin,
+
+      "sample_split" ->
+        s"""SELECT doc_id, CAST(((xxh64 % 100) + 100) % 100 AS INT) AS bucket,
+           |  CASE WHEN ((xxh64 % 100) + 100) % 100 < 90 THEN 'train'
+           |       WHEN ((xxh64 % 100) + 100) % 100 < 95 THEN 'val'
+           |       ELSE 'test' END AS split
+           |FROM read_parquet('${OracleSql.docSigsGlob}')""".stripMargin,
 
       "mm_binary_meta" ->
         """SELECT doc_id, CAST(length(text) AS BIGINT) AS n_bytes,

@@ -72,6 +72,28 @@ object TextAnalysis {
       keep.cast("int").as("keep"))
   }
 
+  /** Corpus vocabulary histogram — the canonical one-shuffle wordcount: one
+    * explode, one hash aggregate with map-side combine. At 100 TB the
+    * shuffle volume is Σ distinct tokens per map partition (combine-bounded),
+    * not token occurrences.
+    */
+  def vocab(docs: DataFrame): DataFrame =
+    docs.select(explode(tokensCol(col("text"))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+
+  /** Deterministic hash-based corpus split (train/val/test 90/5/5): bucket =
+    * xxhash64(text) mod 100. The reproducible-split pattern a large pipeline
+    * needs — membership is a pure function of content, stable across reruns,
+    * partitionings, and cluster sizes; no RNG state to coordinate.
+    */
+  def hashSplit(docs: DataFrame): DataFrame = {
+    val bucket = pmod(xxhash64(col("text")), lit(100)).cast("int")
+    docs.select(
+      col("doc_id"),
+      bucket.as("bucket"),
+      when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test").as("split"))
+  }
+
   /** Token counting: whitespace tokens and a BPE-ish regex segmentation
     * (letter runs / digit runs / single symbols) — the usual pre-tokenizer
     * shape. The patterns avoid lookaround so the DuckDB (RE2) oracle can run

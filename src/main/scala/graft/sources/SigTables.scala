@@ -23,11 +23,11 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SigTables {
 
-  // v2: round-3 schema (doc_sigs gained the real-container decode fields
-  // width/height/n_frames/sample_rate). Versioned path, because `ensure` is
-  // synth-on-first-use: a driver machine carrying v1 tables from an earlier
-  // round must regenerate, not silently serve the stale schema.
-  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/v2/${Tables.sfName(sfDir)}"
+  // v3: round-3 schema (doc_sigs gained the real-container decode fields
+  // width/height/n_frames/sample_rate, then the xxh64 split hash). Versioned
+  // path, because `ensure` is synth-on-first-use: a machine carrying older
+  // tables must regenerate, not silently serve the stale schema.
+  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/v3/${Tables.sfName(sfDir)}"
   def docSigsPath(sfDir: String): String = s"${root(sfDir)}/doc_sigs"
   def minhashBandsPath(sfDir: String): String = s"${root(sfDir)}/minhash_bands"
   def embSigsPath(sfDir: String): String = s"${root(sfDir)}/emb_sigs"
@@ -56,6 +56,9 @@ object SigTables {
         meta.sample_rate)
     }.toDF("doc_id", "simhash", "fingerprint", "n_winnow", "shingles",
       "media_type", "n_bytes", "width", "height", "n_frames", "sample_rate")
+      // the deterministic-split hash, pinned via the engine's own Catalyst
+      // xxhash64 — the oracle re-derives the bucket/split arithmetic over it
+      .join(docs.select(col("doc_id"), xxhash64(col("text")).as("xxh64")), Seq("doc_id"))
   }
 
   /** doc_id, band, band_key — same (k=32, bands=8) family as

@@ -191,6 +191,26 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(meta.filter(_.media_type != "wav").forall(m => m.n_frames == 1 && m.width >= 4))
   }
 
+  test("hash split: deterministic, content-keyed, ~90/5/5") {
+    val s1 = TextAnalysis.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val s2 = TextAnalysis.hashSplit(docs).collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(s1 == s2) // no RNG state — reruns agree exactly
+    val n = s1.size.toDouble
+    val frac = s1.values.groupBy(identity).view.mapValues(_.size / n).toMap
+    assert(frac("train") > 0.8 && frac("train") < 0.97, frac.toString)
+    assert(frac.getOrElse("val", 0.0) < 0.12 && frac.getOrElse("test", 0.0) < 0.12)
+    // content-keyed: identical text lands in the same split regardless of id
+    import spark.implicits._
+    val dup = Seq((1L, "same text"), (2L, "same text")).toDF("doc_id", "text")
+    assert(TextAnalysis.hashSplit(dup).select("split").distinct().count() == 1)
+  }
+
+  test("vocab histogram sums to total token occurrences") {
+    val total = TextAnalysis.vocab(docs).agg(sum(col("cnt"))).collect()(0).getLong(0)
+    val perDoc = TextAnalysis.quality(docs).agg(sum(col("n_tokens"))).collect()(0).getLong(0)
+    assert(total == perDoc)
+  }
+
   test("language id picks the language with most stopword hits, deterministic ties") {
     import spark.implicits._
     val samples = Seq(
