@@ -241,6 +241,15 @@ object SparkEntry {
 
     "dedup_simhash" -> ((s, d) => Dedup.simhashNearDups(t(s, d)("documents"), 3)),
 
+    // incremental ingest dedup: new batch (odd ids) against the existing
+    // corpus (even ids) — batch×corpus band join, never corpus×corpus
+    "dedup_incremental" -> ((s, d) => {
+      val docs = t(s, d)("documents")
+      Dedup.incrementalNearDups(
+        docs.filter(col("doc_id") % 2 === 0),
+        docs.filter(col("doc_id") % 2 === 1), 0.5)
+    }),
+
     // cluster formation: connected components over the MinHash near-dup pair
     // set (min-label propagation + pointer jumping), every doc mapped to its
     // canonical keeper — the join table a 100 TB dedup actually applies
@@ -583,6 +592,22 @@ object SparkEntry {
            |  FROM cand JOIN d da ON da.doc_id = a_id JOIN d db ON db.doc_id = b_id
            |)
            |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+      "dedup_incremental" ->
+        s"""WITH b AS (SELECT * FROM read_parquet('${OracleSql.minhashBandsGlob}')),
+           |d AS (SELECT * FROM read_parquet('${OracleSql.docSigsGlob}')),
+           |cand AS (
+           |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+           |  FROM b n JOIN b o ON n.band = o.band AND n.band_key = o.band_key
+           |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+           |),
+           |j AS (
+           |  SELECT new_id, old_id,
+           |    CAST(len(list_intersect(dn.shingles, dd.shingles)) AS DOUBLE) /
+           |    (len(dn.shingles) + len(dd.shingles) - len(list_intersect(dn.shingles, dd.shingles))) AS jaccard
+           |  FROM cand JOIN d dn ON dn.doc_id = new_id JOIN d dd ON dd.doc_id = old_id
+           |)
+           |SELECT new_id, old_id, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
 
       // the oracle re-derives the LSH pairs like dedup_minhash, then computes
       // connected components INDEPENDENTLY via a recursive reachability CTE

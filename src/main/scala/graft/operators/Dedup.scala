@@ -129,6 +129,31 @@ object Dedup {
     else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
   }
 
+  /** Incremental near-dup: flag NEW-batch documents that duplicate the
+    * EXISTING corpus — the daily-ingest shape at 100 TB. The corpus side is
+    * touched once to band it (or, on a real deployment, its band table is
+    * already materialized — exactly what SigTables pins); the join is
+    * new-bands × corpus-bands, never corpus × corpus, so daily cost scales
+    * with the batch, not the corpus pair space.
+    */
+  def incrementalNearDups(corpus: DataFrame, fresh: DataFrame, threshold: Double,
+      k: Int = 32, bands: Int = 8): DataFrame = {
+    def banded(df: DataFrame) = df
+      .select(col("doc_id"), posexplode(minhashUdf(k, bands)(col("text"))).as(Seq("band", "band_key")))
+    val cand = banded(fresh).alias("n")
+      .join(banded(corpus).alias("o"),
+        col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
+      .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
+      .distinct()
+    val jUdf = udf((a: String, b: String) => jaccard(a, b))
+    cand
+      .join(fresh.select(col("doc_id").as("new_id"), col("text").as("new_text")), "new_id")
+      .join(corpus.select(col("doc_id").as("old_id"), col("text").as("old_text")), "old_id")
+      .withColumn("jaccard", jUdf(col("new_text"), col("old_text")))
+      .filter(col("jaccard") >= threshold)
+      .select("new_id", "old_id", "jaccard")
+  }
+
   def minhashNearDups(docs: DataFrame, threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(docs, k, bands)
     val texts = docs.select(col("doc_id"), col("text"))

@@ -22,7 +22,9 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     val rows = base.flatMap { case (id, text) =>
       val toks = text.split(" ")
       val edited = (toks.take(toks.length - 2) :+ "zzz").mkString(" ") // drop 2 tokens, add 1
-      Seq((id, text), (id + 100000L, edited))
+      // odd offset: each near-dup lands on the OPPOSITE parity of its
+      // original, so the incremental (batch×corpus) slice test has pairs
+      Seq((id, text), (id + 100001L, edited))
     }
     rows.toSeq.toDF("doc_id", "text")
   }
@@ -42,6 +44,22 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(found.subsetOf(brute))
     val recall = found.intersect(brute).size.toDouble / brute.size
     assert(recall >= 0.95, s"minhash recall $recall (found ${found.size} of ${brute.size})")
+  }
+
+  test("incremental dedup equals the cross-parity slice of full pair dedup") {
+    val full = Dedup.minhashNearDups(crafted, 0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet // (a < b) pairs
+    val expected = full.flatMap { case (a, b) =>
+      if (a % 2 == 1 && b % 2 == 0) Some((a, b))      // oriented (new=odd, old=even)
+      else if (b % 2 == 1 && a % 2 == 0) Some((b, a))
+      else None                                        // same-parity: not batch×corpus
+    }
+    val got = Dedup.incrementalNearDups(
+      crafted.filter(col("doc_id") % 2 === 0),
+      crafted.filter(col("doc_id") % 2 === 1), 0.5)
+      .select("new_id", "old_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "crafted corpus must contain cross-parity near-dups")
   }
 
   test("cluster formation: components collapse to min-id keepers, chains included") {
