@@ -171,6 +171,7 @@ object Bench {
       "dedup_simhash" -> SparkEntry.queries("dedup_simhash"),
       "dedup_embedding" -> SparkEntry.queries("dedup_embedding"),
       "dedup_clusters" -> SparkEntry.queries("dedup_clusters"),
+      "dedup_incremental" -> SparkEntry.queries("dedup_incremental"),
       "ann_topk" -> SparkEntry.queries("ann_topk"),
       "ann_lsh" -> SparkEntry.queries("ann_lsh"),
       "ann_ivf" -> SparkEntry.queries("ann_ivf"),
@@ -178,6 +179,8 @@ object Bench {
       "text_quality" -> SparkEntry.queries("text_quality"),
       "text_tokens" -> SparkEntry.queries("text_tokens"),
       "text_fingerprint" -> SparkEntry.queries("text_fingerprint"),
+      "text_vocab" -> SparkEntry.queries("text_vocab"),
+      "sample_split" -> SparkEntry.queries("sample_split"),
       "mm_binary_meta" -> SparkEntry.queries("mm_binary_meta"),
       "mm_decode" -> SparkEntry.queries("mm_decode"))
 

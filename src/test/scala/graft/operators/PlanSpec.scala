@@ -75,6 +75,12 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("dedup_incremental: batch×corpus is a band equi-join, never a cross product") {
+    val p = plan("dedup_incremental")
+    assert(!p.contains("CartesianProduct"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+  }
+
   test("dedup_clusters: label propagation shuffles ids only — no cartesian, no text columns") {
     val df = SparkEntry.queries("dedup_clusters")(spark, sf)
     val p = df.queryExecution.executedPlan.toString
