@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   */
 object Enrich {
 
-  /** stable first-appearance ordering key */
-  private def firstKey: Column =
-    concat_ws("#", col("conv_id"), lpad(col("turn_idx").cast("string"), 12, "0"))
+  /** stable first-appearance ordering key: a (conv_id, turn_idx) struct —
+    * struct min orders field-by-field, which is exactly the lexicographic
+    * order the zero-padded "conv#turn" string gave, without allocating a
+    * concatenated string per fact row inside the aggregation
+    */
+  private def firstKey: Column = struct(col("conv_id"), col("turn_idx"))
 
   /** Build several first-sight dimensions in ONE pass over the fact table:
     * unpivot the requested columns, aggregate min(first-seen) per (dim, key),
@@ -36,7 +39,7 @@ object Enrich {
       .collect()
     dims.map { d =>
       d -> rows.filter(_.getString(0) == d)
-        .sortBy(_.getString(2))
+        .sortBy(r => (r.getStruct(2).getString(0), r.getStruct(2).getInt(1)))
         .zipWithIndex
         .map { case (r, i) => (r.getString(1), i + 1) }
         .toSeq
