@@ -19,8 +19,13 @@ object Verify {
     // at sf0.001/sf0.1 compares against same-scale transcripts + sig tables
     graft.app.OracleSql.verifySf = graft.sources.Tables.sfName(sfDir)
     // pin the LSH/fingerprint signature tables the DuckDB oracle reads
-    // (synth-on-first-use, deterministic — see graft.sources.SigTables)
-    graft.sources.SigTables.ensure(spark, sfDir)
+    // (synth-on-first-use, deterministic — see graft.sources.SigTables).
+    // A synth failure must not zero the whole round: the 30+ non-sig rows
+    // can still verify.
+    try graft.sources.SigTables.ensure(spark, sfDir)
+    catch { case e: Throwable =>
+      System.err.println(s"[verify] sig-table synth failed: ${e.getMessage}")
+    }
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
