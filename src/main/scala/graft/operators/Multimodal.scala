@@ -66,11 +66,15 @@ object Multimodal {
       .array()
     val deflater = new Deflater()
     deflater.setInput(payload); deflater.finish()
-    val buf = new Array[Byte](payload.length + 64)
-    val n = deflater.deflate(buf)
+    // drain until finished: one deflate() call can under-fill for
+    // incompressible payloads (stored-block overhead) and would silently
+    // truncate the stream
+    val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
     deflater.end()
     val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++ chunk("IEND", Array.empty)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty)
   }
 
   /** WAV: RIFF/WAVE with a 16-byte PCM fmt chunk and a data chunk of the

@@ -195,6 +195,20 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     val bm = Multimodal.decodeMedia(3L, Multimodal.encodeBmp(48, 33, "px".getBytes("UTF-8")))
     assert(bm.media_type == "bmp" && bm.width == 48 && bm.height == 33)
 
+    // the IDAT zlib stream must round-trip even for incompressible payloads
+    // (a single deflate() call under-fills there — stored-block overhead)
+    val rnd = new scala.util.Random(7L)
+    val noisy = Array.fill(200000)(rnd.nextInt().toByte)
+    val png2 = Multimodal.encodePng(10, 10, noisy)
+    val idatLen = java.nio.ByteBuffer.wrap(png2, 33, 4).getInt
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(png2, 41, idatLen)
+    val back = new Array[Byte](noisy.length + 1)
+    val got = inflater.inflate(back)
+    inflater.end()
+    assert(got == noisy.length && back.take(got).toSeq == noisy.toSeq,
+      "IDAT must inflate back to the full payload")
+
     // garbage never throws — one bad blob must not kill a stage
     assert(Multimodal.decodeMedia(4L, Array[Byte](1, 2, 3)).media_type == "unknown")
     assert(Multimodal.decodeMedia(5L, Array.empty[Byte]).media_type == "unknown")
