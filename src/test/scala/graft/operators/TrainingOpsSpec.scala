@@ -243,6 +243,39 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(total == perDoc)
   }
 
+  test("media transforms operate on real bytes: pixel-exact resize, frame-exact decimation") {
+    // BMP 4x2 with per-pixel values encoding (x, y): nearest-neighbor to 2x1
+    // must pick source pixels (0,0) and (2,0) exactly
+    val rowSize = ((4 * 3 + 3) / 4) * 4 // 12, no padding
+    val px = new Array[Byte](rowSize * 2)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val o = y * rowSize + x * 3
+      px(o) = (10 * x).toByte; px(o + 1) = (10 * y + 1).toByte; px(o + 2) = 7.toByte
+    }
+    val bmp = {
+      val bb = java.nio.ByteBuffer.allocate(54 + px.length).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + px.length)
+        .putShort(0).putShort(0).putInt(54)
+        .putInt(40).putInt(4).putInt(2).putShort(1).putShort(24).putInt(0)
+        .putInt(px.length).putInt(2835).putInt(2835).putInt(0).putInt(0).put(px)
+      bb.array()
+    }
+    val resized = Multimodal.resizeBmp(bmp, 2, 1)
+    val rm = Multimodal.decodeMedia(9L, resized)
+    assert(rm.media_type == "bmp" && rm.width == 2 && rm.height == 1)
+    // output row: pixel 0 from source (0,0) = (0,1,7); pixel 1 from (2,0) = (20,1,7)
+    val outPx = resized.drop(54)
+    assert(outPx.take(6).toSeq == Seq[Byte](0, 1, 7, 20, 1, 7), outPx.take(6).toSeq)
+
+    // WAV: 10 mono frames numbered 0..9, stride 4 → frames 0,4,8 at rate/4
+    val frames = Array.tabulate(20)(i => (i / 2).toByte) // 16-bit: each frame = (n, n)
+    val wav = Multimodal.encodeWav(1, 16000, frames)
+    val sampled = Multimodal.sampleWavFrames(wav, 4)
+    val sm = Multimodal.decodeMedia(10L, sampled)
+    assert(sm.media_type == "wav" && sm.sample_rate == 4000 && sm.n_frames == 3)
+    assert(sampled.drop(44).toSeq == Seq[Byte](0, 0, 4, 4, 8, 8))
+  }
+
   test("language id picks the language with most stopword hits, deterministic ties") {
     import spark.implicits._
     val samples = Seq(
