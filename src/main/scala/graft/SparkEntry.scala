@@ -317,7 +317,12 @@ object SparkEntry {
     // predicts them by header arithmetic over the pinned input metadata
     "mm_transform" -> ((s, d) =>
       Multimodal.transformMedia(Multimodal.withPayload(t(s, d)("documents"))).toDF()
-        .select("doc_id", "media_type", "width", "height", "n_frames", "sample_rate")))
+        .select("doc_id", "media_type", "width", "height", "n_frames", "sample_rate")),
+
+    // real feature extraction from payload bytes (mean pixel intensity /
+    // mean |amplitude|, integer-exact); oracle = round-trip-pinned values
+    "mm_features" -> ((s, d) =>
+      Multimodal.extractFeatures(Multimodal.withPayload(t(s, d)("documents")))))
 
   def oracleSql: Map[String, String] = {
     val W = OracleSql.withParsed _
@@ -696,6 +701,10 @@ object SparkEntry {
 
       "mm_decode" ->
         s"""SELECT doc_id, media_type, n_bytes, width, height, n_frames, sample_rate
+           |FROM read_parquet('${OracleSql.docSigsGlob}')""".stripMargin,
+
+      "mm_features" ->
+        s"""SELECT doc_id, media_type, feat_milli
            |FROM read_parquet('${OracleSql.docSigsGlob}')""".stripMargin,
 
       "mm_transform" ->

@@ -228,6 +228,67 @@ object Multimodal {
       })
   }
 
+  /** REAL feature extraction from the payload bytes, integer-exact so the
+    * pinned-oracle compare is never float-hash-fragile:
+    *  - BMP: mean pixel-channel intensity over the actual pixel rows
+    *    (excluding row padding), in 1/1000 units
+    *  - WAV: mean absolute 16-bit sample amplitude over the actual data
+    *    chunk, in 1/1000 units
+    *  - PNG/other: -1 (pixel codec is the documented stub)
+    */
+  def featMilli(bytes: Array[Byte]): Long = {
+    if (bytes.length >= 26 && ascii(bytes, 0, "BM")) {
+      val w = leInt(bytes, 18)
+      val h = math.abs(leInt(bytes, 22))
+      val pixelOffset = leInt(bytes, 10)
+      val rowSize = ((w * 3 + 3) / 4) * 4
+      var sum = 0L
+      var y = 0
+      while (y < h) {
+        var i = pixelOffset + y * rowSize
+        val end = i + w * 3
+        while (i < end) { sum += (bytes(i) & 0xff); i += 1 }
+        y += 1
+      }
+      val n = w.toLong * h * 3
+      if (n == 0) -1L else sum * 1000L / n
+    } else if (bytes.length >= 44 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
+      var off = 12
+      var dataOff = -1
+      var dataLen = 0
+      while (off + 8 <= bytes.length) {
+        val size = leInt(bytes, off + 4)
+        if (ascii(bytes, off, "data")) { dataOff = off + 8; dataLen = size }
+        off += 8 + size + (size & 1)
+      }
+      val samples = dataLen / 2
+      if (samples == 0) -1L
+      else {
+        var sum = 0L
+        var i = 0
+        while (i < samples) {
+          val v = ((bytes(dataOff + 2 * i) & 0xff) | (bytes(dataOff + 2 * i + 1) << 8)).toShort
+          sum += math.abs(v.toLong)
+          i += 1
+        }
+        sum * 1000L / samples
+      }
+    } else -1L
+  }
+
+  /** feature-extract stage over the binary column (mapPartitions batches) */
+  def extractFeatures(docsWithPayload: DataFrame): DataFrame = {
+    val spark = docsWithPayload.sparkSession
+    import spark.implicits._
+    docsWithPayload
+      .select(col("doc_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        (id, decodeMedia(id, bytes).media_type, featMilli(bytes))
+      })
+      .toDF("doc_id", "media_type", "feat_milli")
+  }
+
   // -------------------------------------------------------------- decoder
   private def beInt(b: Array[Byte], off: Int): Int =
     ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) | ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)

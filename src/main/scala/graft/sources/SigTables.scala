@@ -23,11 +23,12 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SigTables {
 
-  // v3: round-3 schema (doc_sigs gained the real-container decode fields
-  // width/height/n_frames/sample_rate, then the xxh64 split hash). Versioned
-  // path, because `ensure` is synth-on-first-use: a machine carrying older
-  // tables must regenerate, not silently serve the stale schema.
-  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/v3/${Tables.sfName(sfDir)}"
+  // v4: round-3 schema (doc_sigs gained the real-container decode fields
+  // width/height/n_frames/sample_rate, the xxh64 split hash, then the
+  // feat_milli media feature). Versioned path, because `ensure` is
+  // synth-on-first-use: a machine carrying older tables must regenerate,
+  // not silently serve the stale schema.
+  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/v4/${Tables.sfName(sfDir)}"
   def docSigsPath(sfDir: String): String = s"${root(sfDir)}/doc_sigs"
   def minhashBandsPath(sfDir: String): String = s"${root(sfDir)}/minhash_bands"
   def embSigsPath(sfDir: String): String = s"${root(sfDir)}/emb_sigs"
@@ -42,7 +43,8 @@ object SigTables {
     val spark = docs.sparkSession
     import spark.implicits._
     docs.select(col("doc_id"), col("text")).as[(Long, String)].map { case (id, text) =>
-      val meta = Multimodal.decodeMedia(id, Multimodal.encodeMedia(id, text))
+      val payload = Multimodal.encodeMedia(id, text)
+      val meta = Multimodal.decodeMedia(id, payload)
       (id,
         Dedup.simhash(text),
         TextAnalysis.polyHash(text),
@@ -53,9 +55,10 @@ object SigTables {
         meta.width,
         meta.height,
         meta.n_frames,
-        meta.sample_rate)
+        meta.sample_rate,
+        Multimodal.featMilli(payload))
     }.toDF("doc_id", "simhash", "fingerprint", "n_winnow", "shingles",
-      "media_type", "n_bytes", "width", "height", "n_frames", "sample_rate")
+      "media_type", "n_bytes", "width", "height", "n_frames", "sample_rate", "feat_milli")
       // the deterministic-split hash, pinned via the engine's own Catalyst
       // xxhash64 — the oracle re-derives the bucket/split arithmetic over it
       .join(docs.select(col("doc_id"), xxhash64(col("text")).as("xxh64")), Seq("doc_id"))

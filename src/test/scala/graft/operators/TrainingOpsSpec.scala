@@ -274,6 +274,16 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     val sm = Multimodal.decodeMedia(10L, sampled)
     assert(sm.media_type == "wav" && sm.sample_rate == 4000 && sm.n_frames == 3)
     assert(sampled.drop(44).toSeq == Seq[Byte](0, 0, 4, 4, 8, 8))
+
+    // feature extraction is integer-exact over the real bytes:
+    // BMP channels: x in {0,10,20,30} (×2 rows), 10*y+1 in {1,11} (×4 each), 7 (×8)
+    // sum = 2*(0+10+20+30) + 4*1 + 4*11 + 8*7 = 120+48+56 = 224; n = 24
+    assert(Multimodal.featMilli(bmp) == 224L * 1000 / 24)
+    // WAV sample j reads bytes (2j, 2j+1) = (j, j) → LE int16 value j*257
+    val expectWav = (0 until 10).map(j => j * 257L).sum * 1000 / 10
+    assert(Multimodal.featMilli(wav) == expectWav)
+    // pixel codec = documented stub → PNG has no feature
+    assert(Multimodal.featMilli(Multimodal.encodePng(8, 8, "x".getBytes("UTF-8"))) == -1L)
   }
 
   test("language id picks the language with most stopword hits, deterministic ties") {
