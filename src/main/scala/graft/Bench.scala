@@ -183,7 +183,8 @@ object Bench {
       "sample_split" -> SparkEntry.queries("sample_split"),
       "mm_binary_meta" -> SparkEntry.queries("mm_binary_meta"),
       "mm_decode" -> SparkEntry.queries("mm_decode"),
-      "mm_transform" -> SparkEntry.queries("mm_transform"))
+      "mm_transform" -> SparkEntry.queries("mm_transform"),
+      "mm_features" -> SparkEntry.queries("mm_features"))
 
     // best of 3 runs per query: the first pays JIT/compile costs, the rest
     // measure the steady-state plan; all full executions, nothing cached.
