@@ -453,11 +453,17 @@ object SparkEntry {
            |  time_window, metric_value
            |FROM m JOIN conv_dim ON m.conv_id = conv_dim.conv_id""".stripMargin),
 
+      // client_ip_hex re-derives the engine's Inet.inetAton (MySQL
+      // INET6_ATON) for DOTTED-QUAD v4 only, octets bounded to 0-255 so an
+      // out-of-range octet NULLs on both sides; no IPv6 branch — the synth
+      // vocabulary is exclusively "203.0.113.<0-63>" (TranscriptGen), and an
+      // IPv6 literal would need the engine's 16-byte encoding replicated in
+      // SQL. ADVICE r3: assumption now explicit + regex tightened.
       "r4_rawlog" -> W(
         """SELECT conv_id, turn_idx, 0 AS host_id,
           |  CAST(epoch_ms(log_ts) // 1000 - tz_offset_sec AS BIGINT) AS request_ts,
           |  client_ip,
-          |  CASE WHEN regexp_matches(client_ip, '^\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}$')
+          |  CASE WHEN regexp_matches(client_ip, '^((25[0-5]|2[0-4]\d|1\d\d|\d\d?)\.){3}(25[0-5]|2[0-4]\d|1\d\d|\d\d?)$')
           |       THEN upper(lpad(hex(CAST(split_part(client_ip, '.', 1) AS BIGINT)), 2, '0') ||
           |            lpad(hex(CAST(split_part(client_ip, '.', 2) AS BIGINT)), 2, '0') ||
           |            lpad(hex(CAST(split_part(client_ip, '.', 3) AS BIGINT)), 2, '0') ||

@@ -19,9 +19,16 @@ import org.apache.spark.sql.functions._
 object Enrich {
 
   /** stable first-appearance ordering key: a (conv_id, turn_idx) struct —
-    * struct min orders field-by-field, which is exactly the lexicographic
-    * order the zero-padded "conv#turn" string gave, without allocating a
-    * concatenated string per fact row inside the aggregation
+    * struct min orders field-by-field, which matches the lexicographic order
+    * the zero-padded "conv#turn" string gave, without allocating a
+    * concatenated string per fact row inside the aggregation.
+    *
+    * Equivalence caveat (ADVICE r3): the two orders agree only while no
+    * conv_id is a strict prefix of another whose next character sorts below
+    * '#' (e.g. "a" vs "a!") — for such ids the struct order and the
+    * concatenated order disagree and first-sight ranks would shift. Every
+    * conv id this engine generates or ingests is alphanumeric ("conv" +
+    * digits), where the orders coincide; asserted in EnrichSpec.
     */
   private def firstKey: Column = struct(col("conv_id"), col("turn_idx"))
 

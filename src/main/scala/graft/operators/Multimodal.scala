@@ -148,6 +148,9 @@ object Multimodal {
     val h = math.abs(leInt(bytes, 22))
     val pixelOffset = leInt(bytes, 10)
     val rowSize = ((w * 3 + 3) / 4) * 4
+    // untrusted header: truncated pixel data → null (caller drops the row)
+    if (w <= 0 || h <= 0 || pixelOffset < 0 ||
+        pixelOffset.toLong + h.toLong * rowSize > bytes.length) return null
     val outRowSize = ((tw * 3 + 3) / 4) * 4
     val out = new Array[Byte](outRowSize * th)
     var ty = 0
@@ -185,14 +188,21 @@ object Multimodal {
     var blockAlign = 0
     var dataOff = -1
     var dataLen = 0
-    while (off + 8 <= bytes.length) {
+    var ok = true
+    while (ok && off + 8 <= bytes.length) {
       val size = leInt(bytes, off + 4)
-      if (ascii(bytes, off, "fmt ") && off + 24 <= bytes.length) {
-        channels = leShort(bytes, off + 10)
-        sampleRate = leInt(bytes, off + 12)
-        blockAlign = leShort(bytes, off + 20)
-      } else if (ascii(bytes, off, "data")) { dataOff = off + 8; dataLen = size }
-      off += 8 + size + (size & 1)
+      // a negative or overrunning declared size means a corrupt/truncated
+      // chunk: stop the walk (a size of -8 would otherwise pin `off` in
+      // place and spin the executor thread forever)
+      if (size < 0 || off + 8 + size > bytes.length) ok = false
+      else {
+        if (ascii(bytes, off, "fmt ") && off + 24 <= bytes.length) {
+          channels = leShort(bytes, off + 10)
+          sampleRate = leInt(bytes, off + 12)
+          blockAlign = leShort(bytes, off + 20)
+        } else if (ascii(bytes, off, "data")) { dataOff = off + 8; dataLen = size }
+        off += 8 + size + (size & 1)
+      }
     }
     val frames = if (blockAlign > 0) dataLen / blockAlign else 0
     val kept = (frames + k - 1) / k
@@ -221,7 +231,7 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodeMedia(id, bytes).media_type match {
-          case "bmp" => Some(decodeMedia(id, resizeBmp(bytes, targetW, targetH)))
+          case "bmp" => Option(resizeBmp(bytes, targetW, targetH)).map(decodeMedia(id, _))
           case "wav" => Some(decodeMedia(id, sampleWavFrames(bytes, frameStride)))
           case _ => None
         }
@@ -242,6 +252,10 @@ object Multimodal {
       val h = math.abs(leInt(bytes, 22))
       val pixelOffset = leInt(bytes, 10)
       val rowSize = ((w * 3 + 3) / 4) * 4
+      // header fields are untrusted: a truncated/corrupt payload must yield
+      // the no-feature sentinel, not an out-of-bounds task failure
+      if (w <= 0 || h <= 0 || pixelOffset < 0 ||
+          pixelOffset.toLong + h.toLong * rowSize > bytes.length) return -1L
       var sum = 0L
       var y = 0
       while (y < h) {
@@ -256,10 +270,14 @@ object Multimodal {
       var off = 12
       var dataOff = -1
       var dataLen = 0
-      while (off + 8 <= bytes.length) {
+      var ok = true
+      while (ok && off + 8 <= bytes.length) {
         val size = leInt(bytes, off + 4)
-        if (ascii(bytes, off, "data")) { dataOff = off + 8; dataLen = size }
-        off += 8 + size + (size & 1)
+        if (size < 0 || off + 8 + size > bytes.length) ok = false // corrupt chunk: stop
+        else {
+          if (ascii(bytes, off, "data")) { dataOff = off + 8; dataLen = size }
+          off += 8 + size + (size & 1)
+        }
       }
       val samples = dataLen / 2
       if (samples == 0) -1L
@@ -317,15 +335,21 @@ object Multimodal {
       var sampleRate = 0
       var blockAlign = 0
       var dataLen = 0
-      while (off + 8 <= bytes.length) {
+      var ok = true
+      while (ok && off + 8 <= bytes.length) {
         val size = leInt(bytes, off + 4)
-        if (ascii(bytes, off, "fmt ") && off + 24 <= bytes.length) {
-          sampleRate = leInt(bytes, off + 12)
-          blockAlign = leShort(bytes, off + 20)
-        } else if (ascii(bytes, off, "data")) {
-          dataLen = size
+        // corrupt/adversarial declared size (negative, or past the payload
+        // end): stop the walk rather than loop forever or read out of bounds
+        if (size < 0 || off + 8 + size > bytes.length) ok = false
+        else {
+          if (ascii(bytes, off, "fmt ") && off + 24 <= bytes.length) {
+            sampleRate = leInt(bytes, off + 12)
+            blockAlign = leShort(bytes, off + 20)
+          } else if (ascii(bytes, off, "data")) {
+            dataLen = size
+          }
+          off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
         }
-        off += 8 + size + (size & 1) // RIFF chunks are 2-byte aligned
       }
       meta("wav", fr = if (blockAlign > 0) dataLen / blockAlign else 0, sr = sampleRate)
     } else if (bytes.length >= 26 && ascii(bytes, 0, "BM")) {

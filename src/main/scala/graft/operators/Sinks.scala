@@ -21,9 +21,13 @@ object Sinks {
     * table next to the target, then swap via FileSystem.rename. Two
     * incremental runs over overlapping windows therefore SUM per key
     * instead of duplicating rows (the r2 VERDICT gap). On a real cluster
-    * this is the MERGE INTO of an Iceberg metrics table; the staging+rename
-    * shape here is atomic on HDFS-like filesystems and the best plain
-    * parquet can do.
+    * this is the MERGE INTO of an Iceberg metrics table. Plain parquet has
+    * no atomic swap, so the commit is a THREE-step rename dance: target →
+    * backup, staging → target, drop backup. Each rename is atomic on
+    * HDFS-like filesystems, and a crash between any two steps leaves a
+    * complete copy of the table on disk (at `._backup` if the crash hit
+    * mid-swap — recover by renaming it back); nothing is deleted until the
+    * new table is in place.
     */
   /** the sink's row shape: domain-id broadcast join + key truncation */
   def withDomainRows(metricRows: DataFrame, domainDim: DataFrame): DataFrame =
@@ -49,10 +53,16 @@ object Sinks {
         .agg(sum(col("metric_value")).as("metric_value"))
         .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
       val staging = new org.apache.hadoop.fs.Path(outDir + "._staging")
+      val backup = new org.apache.hadoop.fs.Path(outDir + "._backup")
       merged.write.mode(SaveMode.Overwrite).partitionBy("metric_type").parquet(staging.toString)
-      fs.delete(target, true)
-      if (!fs.rename(staging, target))
+      if (fs.exists(backup)) fs.delete(backup, true) // stale leftover from a crash
+      if (!fs.rename(target, backup))
+        throw new java.io.IOException(s"accumulate swap failed: $target -> $backup")
+      if (!fs.rename(staging, target)) {
+        fs.rename(backup, target) // restore — the old table is still whole
         throw new java.io.IOException(s"accumulate swap failed: $staging -> $target")
+      }
+      fs.delete(backup, true)
     }
   }
 

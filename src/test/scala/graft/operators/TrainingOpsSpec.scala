@@ -286,6 +286,33 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.featMilli(Multimodal.encodePng(8, 8, "x".getBytes("UTF-8"))) == -1L)
   }
 
+  test("corrupt media payloads never hang, throw, or read out of bounds") {
+    // RIFF chunk declaring size -8: without the walk guard `off` stays
+    // stationary and the executor thread spins forever (ADVICE r3)
+    val evil = {
+      val bb = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+      bb.put("junk".getBytes("US-ASCII")).putInt(-8)
+      bb.array()
+    }
+    assert(Multimodal.decodeMedia(11L, evil).media_type == "wav") // terminates
+    assert(Multimodal.featMilli(evil) == -1L)
+    assert(Multimodal.sampleWavFrames(evil, 4).length >= 44) // empty but valid re-encode
+
+    // truncated WAV: the data chunk's declared size overruns the payload —
+    // must not arraycopy past the end
+    val truncWav = Multimodal.encodeWav(1, 16000, Array.tabulate(200)(_.toByte)).take(50)
+    assert(Multimodal.decodeMedia(12L, truncWav).n_frames == 0)
+    assert(Multimodal.featMilli(truncWav) == -1L)
+    assert(Multimodal.sampleWavFrames(truncWav, 4).length >= 44)
+
+    // truncated BMP: header claims 40x40 but the pixel rows are missing
+    val truncBmp = Multimodal.encodeBmp(40, 40, "payload".getBytes("UTF-8")).take(100)
+    assert(Multimodal.decodeMedia(13L, truncBmp).media_type == "bmp") // header parses
+    assert(Multimodal.featMilli(truncBmp) == -1L)
+    assert(Multimodal.resizeBmp(truncBmp, 2, 2) == null)
+  }
+
   test("language id picks the language with most stopword hits, deterministic ties") {
     import spark.implicits._
     val samples = Seq(
