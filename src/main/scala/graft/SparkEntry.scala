@@ -312,15 +312,17 @@ object SparkEntry {
       Multimodal.decodeMeta(Multimodal.withPayload(t(s, d)("documents"))).toDF()
         .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "sample_rate")),
 
-    // real byte transforms: BMP pixel resize + WAV frame decimation; the
-    // emitted fields are decoded FROM THE TRANSFORMED BYTES, the oracle
-    // predicts them by header arithmetic over the pinned input metadata
+    // real byte transforms: BMP + PNG pixel resize (PNG through the full
+    // inflate/unfilter/refilter codec) + WAV frame decimation; the emitted
+    // fields are decoded FROM THE TRANSFORMED BYTES, the oracle predicts
+    // them by header arithmetic over the pinned input metadata
     "mm_transform" -> ((s, d) =>
       Multimodal.transformMedia(Multimodal.withPayload(t(s, d)("documents"))).toDF()
         .select("doc_id", "media_type", "width", "height", "n_frames", "sample_rate")),
 
-    // real feature extraction from payload bytes (mean pixel intensity /
-    // mean |amplitude|, integer-exact); oracle = round-trip-pinned values
+    // real feature extraction from payload bytes (mean pixel intensity over
+    // BMP rows / PNG scanlines, mean |amplitude| over WAV samples — all
+    // integer-exact); oracle = round-trip-pinned values
     "mm_features" -> ((s, d) =>
       Multimodal.extractFeatures(Multimodal.withPayload(t(s, d)("documents")))))
 
@@ -713,14 +715,17 @@ object SparkEntry {
         s"""SELECT doc_id, media_type, feat_milli
            |FROM read_parquet('${OracleSql.docSigsGlob}')""".stripMargin,
 
+      // all three media types since r4 (PNG pixel codec): images resize to
+      // exactly 32x24/1 frame, WAV keeps ceil(frames/4) at rate/4 — pure
+      // header arithmetic over the PINNED INPUT metadata, independent of the
+      // engine's byte transforms whose outputs it predicts
       "mm_transform" ->
         s"""SELECT doc_id, media_type,
-           |  CASE WHEN media_type = 'bmp' THEN 32 ELSE 0 END AS width,
-           |  CASE WHEN media_type = 'bmp' THEN 24 ELSE 0 END AS height,
-           |  CASE WHEN media_type = 'bmp' THEN 1 ELSE CAST((n_frames + 3) // 4 AS INT) END AS n_frames,
+           |  CASE WHEN media_type = 'wav' THEN 0 ELSE 32 END AS width,
+           |  CASE WHEN media_type = 'wav' THEN 0 ELSE 24 END AS height,
+           |  CASE WHEN media_type = 'wav' THEN CAST((n_frames + 3) // 4 AS INT) ELSE 1 END AS n_frames,
            |  CASE WHEN media_type = 'wav' THEN CAST(sample_rate // 4 AS INT) ELSE 0 END AS sample_rate
-           |FROM read_parquet('${OracleSql.docSigsGlob}')
-           |WHERE media_type IN ('bmp', 'wav')""".stripMargin,
+           |FROM read_parquet('${OracleSql.docSigsGlob}')""".stripMargin,
 
       "ann_topk" ->
         """SELECT query_id, neighbor_id FROM (

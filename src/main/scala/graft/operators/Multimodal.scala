@@ -11,18 +11,24 @@ import org.apache.spark.sql.functions._
   * with typed metadata alongside. The Spark-side machinery — schema, batch
   * iteration shape (mapPartitions = the Scala analog of mapInPandas batches),
   * partition-parallel decode, metadata projection — is real and tested, and
-  * since round 3 the decode itself reads REAL container bytes: payloads are
+  * the codecs operate on REAL container bytes end-to-end: payloads are
   * hand-encoded but structurally valid PNG / WAV / BMP files (correct magic
-  * numbers, chunk/RIFF layout, CRCs, little/big-endian header fields), and
+  * numbers, chunk/RIFF layout, CRCs, little/big-endian header fields),
   * `decodeMedia` dispatches on the magic bytes and parses width / height /
-  * sample rate / frame count out of the actual headers.
-  *
-  * The honest remaining stub is PIXEL/SAMPLE decode: no image or audio codec
-  * library ships in this container, so the PNG IDAT chunk carries a real
-  * zlib (java.util.zip.Deflater) stream of the document bytes rather than
-  * filtered scanlines, and feature extraction beyond header metadata is out
-  * of scope. Swapping in a real codec changes only the body of
-  * `decodeMedia`'s per-format branches; the distributed shape stays as-is.
+  * sample rate / frame count out of the actual headers, and the pixel/sample
+  * layer is fully decoded for all three formats:
+  *  - BMP: 24bpp padded pixel rows, read/written directly
+  *  - WAV: 16-bit PCM sample frames from the data chunk
+  *  - PNG: 8-bit truecolor scanlines — a real spec codec built on the JDK's
+  *    zlib (java.util.zip.Deflater/Inflater) plus scanline filtering: the
+  *    encoder filters each row with filter type y mod 5 (exercising None /
+  *    Sub / Up / Average / Paeth) before deflating into IDAT, and the
+  *    decoder inflates the concatenated IDAT stream and unfilters per the
+  *    PNG specification (no codec library ships in this container; the
+  *    filter arithmetic is ~60 lines of spec math, fixture-tested per type).
+  * No stubs remain. Every decoder treats header fields as untrusted:
+  * corrupt/truncated blobs yield "unknown" / no-feature sentinels, never a
+  * task failure or an unbounded loop/allocation.
   */
 object Multimodal {
 
@@ -45,36 +51,206 @@ object Multimodal {
   // can produce real photographs); every header field below is the genuine
   // on-disk encoding a real decoder would read.
 
-  /** PNG: 8-byte signature + IHDR + IDAT (real zlib stream of the payload
-    * bytes) + IEND, each chunk with its correct big-endian length and CRC32.
+  // ---------------------------------------------------------- PNG codec
+  // 8-bit truecolor (color type 2), bpp = 3. Spec references: PNG 1.2 §6
+  // (filter algorithms) and §9 (Paeth predictor).
+
+  private def paeth(a: Int, b: Int, c: Int): Int = {
+    val p = a + b - c
+    val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+    if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+  }
+
+  /** filter raw top-down RGB rows into the PNG scanline stream: each row is
+    * one filter-type byte + width*3 filtered bytes; filter type = y mod 5 so
+    * every encoded image exercises all five spec filters
     */
-  private[operators] def encodePng(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
-    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
-      val t = typ.getBytes(StandardCharsets.US_ASCII)
-      val bb = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
-      bb.putInt(data.length).put(t).put(data)
-      val crc = new CRC32
-      crc.update(t); crc.update(data)
-      bb.putInt(crc.getValue.toInt)
-      bb.array()
+  private[operators] def pngFilterScanlines(width: Int, height: Int, raw: Array[Byte]): Array[Byte] = {
+    val stride = width * 3
+    val out = new Array[Byte]((stride + 1) * height)
+    var y = 0
+    while (y < height) {
+      val ft = y % 5
+      out(y * (stride + 1)) = ft.toByte
+      var i = 0
+      while (i < stride) {
+        val cur = raw(y * stride + i) & 0xff
+        val left = if (i >= 3) raw(y * stride + i - 3) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * stride + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) raw((y - 1) * stride + i - 3) & 0xff else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, ul)
+        }
+        out(y * (stride + 1) + 1 + i) = ((cur - pred) & 0xff).toByte
+        i += 1
+      }
+      y += 1
     }
+    out
+  }
+
+  private def deflateAll(data: Array[Byte]): Array[Byte] = {
+    val deflater = new Deflater()
+    deflater.setInput(data); deflater.finish()
+    // drain until finished: one deflate() call can under-fill for
+    // incompressible payloads (stored-block overhead) and would silently
+    // truncate the stream
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    out.toByteArray
+  }
+
+  private def pngChunk(typ: String, data: Array[Byte]): Array[Byte] = {
+    val t = typ.getBytes(StandardCharsets.US_ASCII)
+    val bb = ByteBuffer.allocate(12 + data.length).order(ByteOrder.BIG_ENDIAN)
+    bb.putInt(data.length).put(t).put(data)
+    val crc = new CRC32
+    crc.update(t); crc.update(data)
+    bb.putInt(crc.getValue.toInt)
+    bb.array()
+  }
+
+  /** PNG from raw top-down RGB pixel rows (width*height*3 bytes): signature
+    * + IHDR + IDAT (zlib of the FILTERED scanline stream) + IEND, each chunk
+    * with its correct big-endian length and CRC32.
+    */
+  private[operators] def encodePngPixels(width: Int, height: Int, raw: Array[Byte]): Array[Byte] = {
+    require(raw.length == width * height * 3, s"raw pixels ${raw.length} != $width x $height x 3")
     val ihdr = ByteBuffer.allocate(13).order(ByteOrder.BIG_ENDIAN)
       .putInt(width).putInt(height)
       .put(8.toByte)  // bit depth
       .put(2.toByte)  // color type: truecolor
       .put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
       .array()
-    val deflater = new Deflater()
-    deflater.setInput(payload); deflater.finish()
-    // drain until finished: one deflate() call can under-fill for
-    // incompressible payloads (stored-block overhead) and would silently
-    // truncate the stream
-    val out = new java.io.ByteArrayOutputStream(payload.length / 2 + 64)
-    val buf = new Array[Byte](8192)
-    while (!deflater.finished()) out.write(buf, 0, deflater.deflate(buf))
-    deflater.end()
+    val idat = deflateAll(pngFilterScanlines(width, height, raw))
     val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", out.toByteArray) ++ chunk("IEND", Array.empty)
+    sig ++ pngChunk("IHDR", ihdr) ++ pngChunk("IDAT", idat) ++ pngChunk("IEND", Array.empty)
+  }
+
+  /** synth-time entry: pixel bytes cycled from the payload (same convention
+    * as the BMP encoder), then the real filter+deflate pipeline above
+    */
+  private[operators] def encodePng(width: Int, height: Int, payload: Array[Byte]): Array[Byte] = {
+    val raw = new Array[Byte](width * height * 3)
+    if (payload.nonEmpty) {
+      var i = 0
+      while (i < raw.length) { raw(i) = payload(i % payload.length); i += 1 }
+    }
+    encodePngPixels(width, height, raw)
+  }
+
+  // decoded-pixel cap: our synth images top out near 1 MB of raw pixels; an
+  // adversarial IHDR claiming giant dimensions must not drive allocation
+  private val MaxPngPixelBytes = 1 << 26 // 64 MB
+
+  /** Decode a PNG produced by any conforming encoder of 8-bit truecolor
+    * non-interlaced images: inflate the concatenated IDAT stream, unfilter
+    * every scanline (filter types 0-4), return raw top-down RGB rows.
+    * Returns (width, height, pixels), or null for anything corrupt,
+    * truncated, unsupported (other bit depths / color types / interlacing),
+    * or oversized — never a throw, never an unbounded loop.
+    */
+  private[operators] def decodePngPixels(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    if (bytes.length < 33 || bytes(0) != 0x89.toByte || !ascii(bytes, 1, "PNG") ||
+        !ascii(bytes, 12, "IHDR")) return null
+    val w = beInt(bytes, 16)
+    val h = beInt(bytes, 20)
+    val depth = bytes(24) & 0xff
+    val colorType = bytes(25) & 0xff
+    val interlace = bytes(28) & 0xff
+    if (w <= 0 || h <= 0 || depth != 8 || colorType != 2 || interlace != 0) return null
+    // bound the dimensions BEFORE forming products: 2^31-ish header values
+    // would overflow even the Long arithmetic of the byte-count guard
+    if (w > (1 << 15) || h > (1 << 15)) return null
+    val stride = w.toLong * 3
+    val filteredLen = (stride + 1) * h
+    if (stride * h > MaxPngPixelBytes) return null
+    // walk chunks (guarded like the RIFF walk), concatenating IDAT data —
+    // the spec allows the zlib stream to be split across multiple IDATs
+    val idat = new java.io.ByteArrayOutputStream(256)
+    var off = 8
+    var ok = true
+    while (ok && off + 8 <= bytes.length) {
+      val len = beInt(bytes, off)
+      if (len < 0 || off + 12 + len > bytes.length) ok = false
+      else {
+        if (ascii(bytes, off + 4, "IDAT")) idat.write(bytes, off + 8, len)
+        off += 12 + len
+      }
+    }
+    if (idat.size() == 0) return null
+    val filt = new Array[Byte](filteredLen.toInt)
+    val inflater = new java.util.zip.Inflater()
+    try {
+      inflater.setInput(idat.toByteArray)
+      var got = 0
+      var n = -1
+      while (got < filt.length && n != 0 && !inflater.finished()) {
+        n = inflater.inflate(filt, got, filt.length - got)
+        got += n
+      }
+      if (got != filt.length) return null // truncated stream
+    } catch {
+      case _: java.util.zip.DataFormatException => return null
+    } finally inflater.end()
+    // unfilter in place: each reconstructed row feeds the next row's
+    // predictors (PNG 1.2 §6.2-6.6)
+    val s = stride.toInt
+    val raw = new Array[Byte](s * h)
+    var y = 0
+    while (y < h) {
+      val ft = filt(y * (s + 1)) & 0xff
+      if (ft > 4) return null
+      var i = 0
+      while (i < s) {
+        val x = filt(y * (s + 1) + 1 + i) & 0xff
+        val left = if (i >= 3) raw(y * s + i - 3) & 0xff else 0
+        val up = if (y > 0) raw((y - 1) * s + i) & 0xff else 0
+        val ul = if (y > 0 && i >= 3) raw((y - 1) * s + i - 3) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case _ => x + paeth(left, up, ul)
+        }
+        raw(y * s + i) = (v & 0xff).toByte
+        i += 1
+      }
+      y += 1
+    }
+    (w, h, raw)
+  }
+
+  /** REAL nearest-neighbor resize of a PNG payload: decode the actual
+    * scanlines, sample to the target dimensions, re-encode through the
+    * filter+deflate pipeline. Null for undecodable input.
+    */
+  private[operators] def resizePng(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
+    val decoded = decodePngPixels(bytes)
+    if (decoded == null) return null
+    val (w, h, raw) = decoded
+    val out = new Array[Byte](tw * th * 3)
+    var ty = 0
+    while (ty < th) {
+      val sy = (ty.toLong * h / th).toInt
+      var tx = 0
+      while (tx < tw) {
+        val sx = (tx.toLong * w / tw).toInt
+        val src = sy * w * 3 + sx * 3
+        val dst = ty * tw * 3 + tx * 3
+        out(dst) = raw(src); out(dst + 1) = raw(src + 1); out(dst + 2) = raw(src + 2)
+        tx += 1
+      }
+      ty += 1
+    }
+    encodePngPixels(tw, th, out)
   }
 
   /** WAV: RIFF/WAVE with a 16-byte PCM fmt chunk and a data chunk of the
@@ -216,11 +392,12 @@ object Multimodal {
   }
 
   /** Resize / frame-sample stage over the binary column (mapPartitions
-    * batches): BMP payloads are pixel-resized to (targetW, targetH), WAV
-    * payloads are decimated by `frameStride`; the emitted metadata comes
+    * batches): BMP and PNG payloads are pixel-resized to (targetW, targetH)
+    * — PNG through the full inflate/unfilter/refilter/deflate codec — and
+    * WAV payloads are decimated by `frameStride`; the emitted metadata comes
     * from DECODING THE TRANSFORMED BYTES, so a header-arithmetic oracle
-    * cross-checks the real byte transforms. PNGs are filtered out (pixel
-    * codec is the documented stub).
+    * cross-checks the real byte transforms. Undecodable blobs are dropped,
+    * never a task failure.
     */
   def transformMedia(docsWithPayload: DataFrame, targetW: Int = 32, targetH: Int = 24,
       frameStride: Int = 4): Dataset[MediaMeta] = {
@@ -232,6 +409,7 @@ object Multimodal {
       .mapPartitions(_.flatMap { case (id, bytes) =>
         decodeMedia(id, bytes).media_type match {
           case "bmp" => Option(resizeBmp(bytes, targetW, targetH)).map(decodeMedia(id, _))
+          case "png" => Option(resizePng(bytes, targetW, targetH)).map(decodeMedia(id, _))
           case "wav" => Some(decodeMedia(id, sampleWavFrames(bytes, frameStride)))
           case _ => None
         }
@@ -242,9 +420,11 @@ object Multimodal {
     * pinned-oracle compare is never float-hash-fragile:
     *  - BMP: mean pixel-channel intensity over the actual pixel rows
     *    (excluding row padding), in 1/1000 units
+    *  - PNG: mean pixel-channel intensity over the inflated + unfiltered
+    *    scanlines, in 1/1000 units
     *  - WAV: mean absolute 16-bit sample amplitude over the actual data
     *    chunk, in 1/1000 units
-    *  - PNG/other: -1 (pixel codec is the documented stub)
+    *  - other / undecodable: -1
     */
   def featMilli(bytes: Array[Byte]): Long = {
     if (bytes.length >= 26 && ascii(bytes, 0, "BM")) {
@@ -266,6 +446,16 @@ object Multimodal {
       }
       val n = w.toLong * h * 3
       if (n == 0) -1L else sum * 1000L / n
+    } else if (bytes.length >= 24 && bytes(0) == 0x89.toByte && ascii(bytes, 1, "PNG")) {
+      val decoded = decodePngPixels(bytes)
+      if (decoded == null) -1L
+      else {
+        val raw = decoded._3
+        var sum = 0L
+        var i = 0
+        while (i < raw.length) { sum += (raw(i) & 0xff); i += 1 }
+        if (raw.length == 0) -1L else sum * 1000L / raw.length
+      }
     } else if (bytes.length >= 44 && ascii(bytes, 0, "RIFF") && ascii(bytes, 8, "WAVE")) {
       var off = 12
       var dataOff = -1

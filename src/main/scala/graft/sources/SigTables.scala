@@ -23,12 +23,14 @@ import graft.operators.{Dedup, Multimodal, Similarity, TextAnalysis}
   */
 object SigTables {
 
-  // v4: round-3 schema (doc_sigs gained the real-container decode fields
-  // width/height/n_frames/sample_rate, the xxh64 split hash, then the
-  // feat_milli media feature). Versioned path, because `ensure` is
+  // v5: round-4 — the PNG encoder now writes real filtered scanlines (the
+  // pixel codec closed the last stub), which changes every PNG payload's
+  // n_bytes and gives PNGs a real feat_milli instead of -1, so the pinned
+  // values must re-synthesize. Versioned path, because `ensure` is
   // synth-on-first-use: a machine carrying older tables must regenerate,
-  // not silently serve the stale schema.
-  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/v4/${Tables.sfName(sfDir)}"
+  // not silently serve the stale schema. (v4: real-container decode fields
+  // width/height/n_frames/sample_rate, xxh64 split hash, feat_milli.)
+  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/v5/${Tables.sfName(sfDir)}"
   def docSigsPath(sfDir: String): String = s"${root(sfDir)}/doc_sigs"
   def minhashBandsPath(sfDir: String): String = s"${root(sfDir)}/minhash_bands"
   def embSigsPath(sfDir: String): String = s"${root(sfDir)}/emb_sigs"

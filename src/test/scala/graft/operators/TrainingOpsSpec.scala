@@ -195,19 +195,15 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     val bm = Multimodal.decodeMedia(3L, Multimodal.encodeBmp(48, 33, "px".getBytes("UTF-8")))
     assert(bm.media_type == "bmp" && bm.width == 48 && bm.height == 33)
 
-    // the IDAT zlib stream must round-trip even for incompressible payloads
-    // (a single deflate() call under-fills there — stored-block overhead)
+    // the filter+deflate pipeline must round-trip even for incompressible
+    // pixel data (a single deflate() call under-fills there — stored-block
+    // overhead would silently truncate the stream)
     val rnd = new scala.util.Random(7L)
-    val noisy = Array.fill(200000)(rnd.nextInt().toByte)
-    val png2 = Multimodal.encodePng(10, 10, noisy)
-    val idatLen = java.nio.ByteBuffer.wrap(png2, 33, 4).getInt
-    val inflater = new java.util.zip.Inflater()
-    inflater.setInput(png2, 41, idatLen)
-    val back = new Array[Byte](noisy.length + 1)
-    val got = inflater.inflate(back)
-    inflater.end()
-    assert(got == noisy.length && back.take(got).toSeq == noisy.toSeq,
-      "IDAT must inflate back to the full payload")
+    val noisy = Array.fill(200 * 200 * 3)(rnd.nextInt().toByte)
+    val png2 = Multimodal.encodePngPixels(200, 200, noisy)
+    val back = Multimodal.decodePngPixels(png2)
+    assert(back != null && back._1 == 200 && back._2 == 200 &&
+      back._3.toSeq == noisy.toSeq, "scanlines must decode back to the raw pixels")
 
     // garbage never throws — one bad blob must not kill a stage
     assert(Multimodal.decodeMedia(4L, Array[Byte](1, 2, 3)).media_type == "unknown")
@@ -282,8 +278,76 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     // WAV sample j reads bytes (2j, 2j+1) = (j, j) → LE int16 value j*257
     val expectWav = (0 until 10).map(j => j * 257L).sum * 1000 / 10
     assert(Multimodal.featMilli(wav) == expectWav)
-    // pixel codec = documented stub → PNG has no feature
-    assert(Multimodal.featMilli(Multimodal.encodePng(8, 8, "x".getBytes("UTF-8"))) == -1L)
+    // PNG: every pixel byte cycled from payload "x" (0x78 = 120) → mean
+    // intensity 120 exactly, through the full inflate+unfilter path
+    assert(Multimodal.featMilli(Multimodal.encodePng(8, 8, "x".getBytes("UTF-8"))) == 120000L)
+
+    // PNG resize is pixel-exact: 4x2 image, per-pixel values encoding (x, y),
+    // nearest-neighbor to 2x1 must pick source pixels (0,0) and (2,0)
+    val pngRaw = new Array[Byte](4 * 2 * 3)
+    for (y <- 0 until 2; x <- 0 until 4) {
+      val o = (y * 4 + x) * 3
+      pngRaw(o) = (10 * x).toByte; pngRaw(o + 1) = (10 * y + 1).toByte; pngRaw(o + 2) = 7.toByte
+    }
+    val pngResized = Multimodal.resizePng(Multimodal.encodePngPixels(4, 2, pngRaw), 2, 1)
+    val prm = Multimodal.decodeMedia(14L, pngResized)
+    assert(prm.media_type == "png" && prm.width == 2 && prm.height == 1)
+    val prPx = Multimodal.decodePngPixels(pngResized)
+    assert(prPx._3.toSeq == Seq[Byte](0, 1, 7, 20, 1, 7), prPx._3.toSeq)
+  }
+
+  test("png scanline filters: hand-computed fixtures per filter type + codec round trip") {
+    // independently hand-computed filtered bytes (PNG 1.2 §6) for a 2x3
+    // truecolor image, one row per filter type 0/4/3 — builds the file
+    // WITHOUT pngFilterScanlines so decode is checked against the spec, not
+    // against the encoder's own arithmetic
+    val row0 = Array[Int](1, 2, 3, 5, 8, 13)    // filter 0 (None): stored as-is
+    val row1 = Array[Int](2, 4, 6, 8, 10, 12)   // filter 4 (Paeth) over row0
+    val row1Filt = Array[Int](1, 2, 3, 3, 2, 255)
+    val row2 = Array[Int](4, 6, 8, 9, 12, 20)   // filter 3 (Average) over row1
+    val row2Filt = Array[Int](3, 4, 5, 3, 4, 10)
+    val filtered = (Array(0) ++ row0 ++ Array(4) ++ row1Filt ++ Array(3) ++ row2Filt)
+      .map(_.toByte)
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(filtered); deflater.finish()
+    val zbuf = new Array[Byte](256)
+    val zlen = deflater.deflate(zbuf)
+    deflater.end()
+    def chunk(typ: String, data: Array[Byte]): Array[Byte] = {
+      val t = typ.getBytes("US-ASCII")
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length).put(t).put(data)
+      val crc = new java.util.zip.CRC32
+      crc.update(t); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(2).putInt(3)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val png = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", zbuf.take(zlen)) ++ chunk("IEND", Array.empty)
+    val decoded = Multimodal.decodePngPixels(png)
+    assert(decoded != null && decoded._1 == 2 && decoded._2 == 3)
+    assert(decoded._3.map(_ & 0xff).toSeq == (row0 ++ row1 ++ row2).toSeq)
+
+    // encoder round trip per filter type: height 6 cycles y%5 through every
+    // filter (incl. Sub and Up which the fixture above doesn't pin)
+    val rnd = new scala.util.Random(11L)
+    val raw = Array.fill(3 * 6 * 3)(rnd.nextInt().toByte)
+    val rt = Multimodal.decodePngPixels(Multimodal.encodePngPixels(3, 6, raw))
+    assert(rt != null && rt._3.toSeq == raw.toSeq)
+
+    // corrupt/unsupported PNGs: null, never a throw or unbounded alloc
+    assert(Multimodal.decodePngPixels(png.take(40)) == null)          // truncated
+    val bomb = png.clone                                              // giant IHDR dims
+    java.nio.ByteBuffer.wrap(bomb, 16, 8).putInt(0x7fffffff).putInt(0x7fffffff)
+    assert(Multimodal.decodePngPixels(bomb) == null)
+    val zeroIdat = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IEND", Array.empty)               // no IDAT
+    assert(Multimodal.decodePngPixels(zeroIdat) == null)
+    val garbageIdat = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", Array[Byte](1, 2, 3, 4)) ++ chunk("IEND", Array.empty)
+    assert(Multimodal.decodePngPixels(garbageIdat) == null)           // bad zlib
   }
 
   test("corrupt media payloads never hang, throw, or read out of bounds") {
