@@ -119,8 +119,10 @@ object Dedup {
       .distinct()
   }
 
-  /** exact n-gram Jaccard, verified on candidate pairs only (LSH prunes the
-    * quadratic space; the verify join fetches the two shingle sets by id).
+  /** exact n-gram Jaccard from raw text — the reference definition, kept as
+    * the test-side oracle for `jaccardSorted` (the distributed path computes
+    * each doc's shingle set ONCE and intersects pre-sorted arrays instead of
+    * re-shingling both texts per candidate pair)
     */
   def jaccard(a: String, b: String): Double = {
     val sa = shingleHashes(a).toSet
@@ -128,6 +130,38 @@ object Dedup {
     if (sa.isEmpty && sb.isEmpty) 1.0
     else sa.intersect(sb).size.toDouble / sa.union(sb).size.toDouble
   }
+
+  /** per-doc sorted distinct shingle-hash array — computed once per document
+    * (one UDF pass, like the band keys), then joined by id into the verify
+    * stage; exactly the column SigTables pins for the oracle
+    */
+  def sortedShingles(text: String): Array[Long] = shingleHashes(text).distinct.sorted
+
+  /** Jaccard over two pre-sorted distinct hash arrays: merge-intersect, no
+    * set allocation. Value-identical to `jaccard` on the source texts (same
+    * integer intersection/union sizes → the same IEEE division).
+    */
+  def jaccardSorted(a: Array[Long], b: Array[Long]): Double = {
+    if (a.isEmpty && b.isEmpty) return 1.0
+    var i = 0; var j = 0; var inter = 0
+    while (i < a.length && j < b.length) {
+      if (a(i) == b(j)) { inter += 1; i += 1; j += 1 }
+      else if (a(i) < b(j)) i += 1
+      else j += 1
+    }
+    inter.toDouble / (a.length + b.length - inter)
+  }
+
+  private val sortedShinglesUdf = udf((text: String) => sortedShingles(text))
+  private val jaccardSortedUdf = udf((a: Array[Long], b: Array[Long]) => jaccardSorted(a, b))
+
+  /** (doc_id, shingles) projection for the verify joins. At 100 TB this (or
+    * SigTables' pinned equivalent) is what flows through the verify
+    * exchange: ids + 8-byte hashes, never the corpus text — and each doc is
+    * shingled exactly once instead of once per candidate pair it appears in.
+    */
+  private def shingleSets(docs: DataFrame, idAs: String, shAs: String): DataFrame =
+    docs.select(col("doc_id").as(idAs), sortedShinglesUdf(col("text")).as(shAs))
 
   /** Incremental near-dup: flag NEW-batch documents that duplicate the
     * EXISTING corpus — the daily-ingest shape at 100 TB. The corpus side is
@@ -145,23 +179,20 @@ object Dedup {
         col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
       .distinct()
-    val jUdf = udf((a: String, b: String) => jaccard(a, b))
     cand
-      .join(fresh.select(col("doc_id").as("new_id"), col("text").as("new_text")), "new_id")
-      .join(corpus.select(col("doc_id").as("old_id"), col("text").as("old_text")), "old_id")
-      .withColumn("jaccard", jUdf(col("new_text"), col("old_text")))
+      .join(shingleSets(fresh, "new_id", "new_sh"), "new_id")
+      .join(shingleSets(corpus, "old_id", "old_sh"), "old_id")
+      .withColumn("jaccard", jaccardSortedUdf(col("new_sh"), col("old_sh")))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "old_id", "jaccard")
   }
 
   def minhashNearDups(docs: DataFrame, threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
     val cands = minhashCandidates(docs, k, bands)
-    val texts = docs.select(col("doc_id"), col("text"))
-    val jUdf = udf((a: String, b: String) => jaccard(a, b))
     cands
-      .join(texts.withColumnRenamed("doc_id", "a_id").withColumnRenamed("text", "a_text"), "a_id")
-      .join(texts.withColumnRenamed("doc_id", "b_id").withColumnRenamed("text", "b_text"), "b_id")
-      .withColumn("jaccard", jUdf(col("a_text"), col("b_text")))
+      .join(shingleSets(docs, "a_id", "a_sh"), "a_id")
+      .join(shingleSets(docs, "b_id", "b_sh"), "b_id")
+      .withColumn("jaccard", jaccardSortedUdf(col("a_sh"), col("b_sh")))
       .filter(col("jaccard") >= threshold)
       .select("a_id", "b_id", "jaccard")
   }

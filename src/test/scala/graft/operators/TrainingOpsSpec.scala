@@ -29,6 +29,19 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     rows.toSeq.toDF("doc_id", "text")
   }
 
+  test("jaccardSorted over per-doc shingle arrays is bit-identical to text jaccard") {
+    val texts = crafted.collect().map(_.getString(1))
+    val sets = texts.map(Dedup.sortedShingles)
+    for (i <- texts.indices; j <- (i + 1) until math.min(i + 8, texts.length)) {
+      val viaText = Dedup.jaccard(texts(i), texts(j))
+      val viaSets = Dedup.jaccardSorted(sets(i), sets(j))
+      assert(java.lang.Double.doubleToRawLongBits(viaText) ==
+        java.lang.Double.doubleToRawLongBits(viaSets), s"($i,$j): $viaText vs $viaSets")
+    }
+    assert(Dedup.jaccardSorted(Array.empty, Array.empty) == 1.0)
+    assert(Dedup.jaccardSorted(Array(1L, 2L), Array.empty) == 0.0)
+  }
+
   test("minhash candidates achieve full recall on crafted near-dups (jaccard >= 0.5)") {
     val brute = {
       val texts = crafted.collect().map(r => (r.getLong(0), r.getString(1)))
