@@ -110,6 +110,14 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     assert(df.schema.fieldNames.toSeq == Seq("doc_id", "keep_id"))
   }
 
+  test("text_quality executes fully whole-stage-codegen'd — no interpreted ArrayAggregate") {
+    val df = SparkEntry.queries("text_quality")(spark, sf)
+    df.collect() // finalize THIS QueryExecution's adaptive plan
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("aggregate("), s"HOF aggregate is interpreted per element: ${p.take(600)}")
+    assert(p.contains("*("), s"expected whole-stage codegen: ${p.take(600)}")
+  }
+
   test("salted fan-out exchanges on (conv_id, salt) and sorts within partitions") {
     import org.apache.spark.sql.functions._
     val parsed = ParseStage.parse(graft.sources.Tables.transcripts(spark, sf)).limit(10)
