@@ -90,7 +90,30 @@ object Similarity {
         col("n.neighbor_id").as("neighbor_id"),
         col("n.cosine").as("cosine"))
 
-  /** exact cosine top-k neighbors for each query vector (excluding self). */
+  /** Should the query side be broadcast? Decided by Catalyst's own size
+    * estimate against spark.sql.autoBroadcastJoinThreshold — the same
+    * statistic the planner would use, no extra job. Re-ranking runs with
+    * small query sets (the common case) broadcast and each query probes its
+    * buckets locally; a batch-ANN run whose query set exceeds the threshold
+    * (e.g. 10⁸ queries re-ranked against the corpus) falls back to shuffled
+    * equi-joins on the bucket key — same results, no 8 GB broadcast OOM.
+    * Estimates are conservative (a filtered scan reports the unfiltered
+    * size), which errs toward shuffle — the safe side at scale. Callers can
+    * force either path via the explicit parameter.
+    */
+  private def shouldBroadcastQueries(queries: DataFrame): Boolean = {
+    val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
+    threshold > 0 && queries.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+  }
+
+  private def maybeBroadcast(df: DataFrame, bcast: Boolean): DataFrame =
+    if (bcast) broadcast(df) else df
+
+  /** exact cosine top-k neighbors for each query vector (excluding self).
+    * The query side is always broadcast here: brute force scores every
+    * (query, candidate) pair, so a beyond-broadcast query set has no
+    * equi-key to shuffle on — use lshTopK/ivfTopK for that regime.
+    */
   def bruteTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val q = broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
@@ -106,16 +129,21 @@ object Similarity {
     * candidates only.
     */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      planes: Int = 5, tables: Int = 16): DataFrame = {
+      planes: Int = 5, tables: Int = 16,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val bcast = broadcastQueries.getOrElse(shouldBroadcastQueries(queries))
     val su = sigsUdf(planes, tables)
     val c = corpus.select(col("vec_id").as("neighbor_id"), explode(su(col("embedding"))).as("sig"))
     val q = queries.select(col("vec_id").as("query_id"), explode(su(col("embedding"))).as("sig"))
-    val cand = broadcast(q).join(c, Seq("sig"))
+    // bucket probe: broadcast hash join for small query sets, shuffled
+    // equi-join on the (table, bucket) key beyond the broadcast threshold
+    val cand = maybeBroadcast(q, bcast).join(c, Seq("sig"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
       .distinct() // union over tables — ids only, no vectors on the exchange
     val scored = cand
-      .join(broadcast(queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))),
+      .join(maybeBroadcast(
+        queries.select(col("vec_id").as("query_id"), col("embedding").as("q_emb")), bcast),
         Seq("query_id"))
       .join(corpus.select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb")),
         Seq("neighbor_id"))
@@ -186,7 +214,9 @@ object Similarity {
     * a small int key.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nlist: Int = 16, iters: Int = 4, nprobe: Int = 4): DataFrame = {
+      nlist: Int = 16, iters: Int = 4, nprobe: Int = 4,
+      broadcastQueries: Option[Boolean] = None): DataFrame = {
+    val bcast = broadcastQueries.getOrElse(shouldBroadcastQueries(queries))
     val cents = kmeansCentroids(corpus, nlist, iters)
     val c = corpus
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"))
@@ -199,7 +229,9 @@ object Similarity {
       .select(col("query_id"), col("q_emb"),
         explode(slice(sort_array(probeEntries), 1, nprobe)).as("p"))
       .select(col("query_id"), col("q_emb"), col("p.cent").as("cent"))
-    val scored = broadcast(q).join(c, Seq("cent"))
+    // bucket join on the small int cent key — broadcast below threshold,
+    // shuffled equi-join beyond it (see shouldBroadcastQueries)
+    val scored = maybeBroadcast(q, bcast).join(c, Seq("cent"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         Dedup.cosineCol(col("q_emb"), col("c_emb")).as("cosine"))
