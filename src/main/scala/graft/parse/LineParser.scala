@@ -222,12 +222,45 @@ object LineParser {
     * reference's per-file sticky-parser memoization, minus the quirk that the
     * detection line itself is not emitted (main.go:744 shadowing) — that
     * quirk lives only in the oracle's quirk mode (RefOracle.stickyQuirk).
+    *
+    * Fast path (VERDICT r3 item 6): instead of blindly running up to 5
+    * regexes per line, three O(1) structural checks prune the try list
+    * EXACTLY — a pruned regex provably could not have matched, so the result
+    * is identical to the plain reversed-order scan (property-tested):
+    *  - nginx formats demand a literal "-" second field (`^(\S+) - `)
+    *  - combined/vhost/nginx-combined anchor on a trailing `"`
+    *  - common anchors on trailing bytes digits (`(\d+)$`)
+    * Apache-heavy lines drop from 3-5 regex attempts to 1-2. A last-success
+    * MEMO (the reference's per-file shape, main.go:728-751) was considered
+    * and rejected: apache_combined lines with logname "-" also match the
+    * nginx grammar, so a memo would reclassify them relative to the
+    * per-line last-match-wins rule this engine (and its oracle) pins.
     */
   def parseAuto(line: String): Option[ParsedFields] = {
     if (line.isEmpty) return None
-    val it = formatsInOrder.reverseIterator
-    while (it.hasNext) {
-      val r = parse(line, it.next())
+    val lastCh = line.charAt(line.length - 1)
+    val endsQuote = lastCh == '"'
+    val endsDigit = lastCh >= '0' && lastCh <= '9'
+    val sp1 = line.indexOf(' ')
+    val dash2nd = sp1 >= 0 && sp1 + 2 < line.length &&
+      line.charAt(sp1 + 1) == '-' && line.charAt(sp1 + 2) == ' '
+    // reversed reference order, minus the provably-impossible candidates
+    if (dash2nd) {
+      val r = parse(line, NginxCustom)
+      if (r.isDefined) return r
+      if (endsQuote) {
+        val r2 = parse(line, NginxCombined)
+        if (r2.isDefined) return r2
+      }
+    }
+    if (endsQuote) {
+      val r = parse(line, ApacheVHostCombined)
+      if (r.isDefined) return r
+      val r2 = parse(line, ApacheCombined)
+      if (r2.isDefined) return r2
+    }
+    if (endsDigit) {
+      val r = parse(line, ApacheCommon)
       if (r.isDefined) return r
     }
     None

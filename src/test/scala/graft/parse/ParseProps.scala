@@ -37,6 +37,31 @@ object ParseProps extends Properties("graft.parse") {
       auto == redo
     }
 
+  /** the unpruned reversed-order scan — the spec-reference parseAuto */
+  private def parseAutoNaive(line: String): Option[graft.model.ParsedFields] = {
+    if (line.isEmpty) return None
+    LineParser.formatsInOrder.reverseIterator
+      .map(f => LineParser.parse(line, f)).collectFirst { case Some(r) => r }
+  }
+
+  property("structural pruning in parseAuto is exact: identical to the full reversed scan") = {
+    // generator lines cover all 5 formats incl. the dash-logname apache
+    // lines that also match the nginx grammar (the logname trap)
+    val genLine: Gen[String] = genIndex.map(i => TranscriptGen.turn(i, lay).text)
+    // plus adversarial shapes around the pruning anchors
+    val crafted = Gen.oneOf(
+      """1.2.3.4 - - [02/Jan/2006:15:04:05 +0000] "GET / HTTP/1.1" 200 1""",
+      """1.2.3.4 - u [02/Jan/2006:15:04:05 +0000] "GET / HTTP/1.1" 200 1 "r" "ua"""",
+      """1.2.3.4 - u [02/Jan/2006:15:04:05 +0000] "GET / HTTP/1.1" 200 1 "r" "ua" 0.1 0.2""",
+      """d.com 1.2.3.4 - u [02/Jan/2006:15:04:05 +0000] "GET / HTTP/1.1" 200 1 "r" "ua"""",
+      """1.2.3.4 frank u [02/Jan/2006:15:04:05 +0000] "GET / HTTP/1.1" 200 1""",
+      "-", "- ", " - ", "\"", "9", "a b c", "",
+      """1.2.3.4 - u [ts] "GET / H" 200 1 "r" "ua" 0.1 "x"""")
+    forAll(Gen.frequency(3 -> genLine, 1 -> crafted)) { line =>
+      LineParser.parseAuto(line) == parseAutoNaive(line)
+    }
+  }
+
   property("keyed counts sum to the total for every dimension") =
     forAll(Gen.chooseNum(50, 400)) { n =>
       val parsed = RefOracle.parseAll(Tables.localTurns(n.toLong)).map(_._2)
