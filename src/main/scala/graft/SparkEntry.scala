@@ -219,6 +219,15 @@ object SparkEntry {
     "p1_quirk_drop" -> ((s, d) => ParseStage.parse(Tables.transcripts(s, d), quirk = true)
       .groupBy(col("format")).agg(count(lit(1)).as("n"), sum("bytes_sent").as("bytes"))),
 
+    // custom-keyed-state path (mapGroupsWithState): the EXACT streaming
+    // operator run on the batch DF — batch execution invokes the same state
+    // function once per key with empty initial state, so this is the final
+    // streaming answer; streaming==batch parity is separately pinned in
+    // StreamingSpec ("stateful conversation progress")
+    "s6_conv_progress" -> ((s, d) => StreamingPipeline.conversationProgress(
+        s, Tables.transcripts(s, d))
+      .select(col("conv_id"), col("turns"), col("maxTurnIdx").as("max_turn_idx"))),
+
     // S5: the uptime/free parsers over the reference's own pinned fixtures
     // (os_metrics.go:69-160, os_metrics_test.go:64-175)
     "s5_os_metrics" -> ((s, _) => graft.metrics.OsMetrics.fixtureMetricsDf(s)),
@@ -306,10 +315,12 @@ object SparkEntry {
     "mm_binary_meta" -> ((s, d) => Multimodal.metaColumns(t(s, d)("documents"))),
 
     // real header decode over the binary payload column (PNG/WAV/BMP magic
-    // dispatch + field parse); oracle = the same fields round-trip-pinned at
-    // sig-table synth time, full per-doc compare
+    // dispatch + field parse) scanned from the materialized media table —
+    // payloads are STORED binary columns like any production multimodal
+    // lake, not re-encoded per query; oracle = the same fields
+    // round-trip-pinned at sig-table synth time, full per-doc compare
     "mm_decode" -> ((s, d) =>
-      Multimodal.decodeMeta(Multimodal.withPayload(t(s, d)("documents"))).toDF()
+      Multimodal.decodeMeta(Tables.media(s, d)).toDF()
         .select("doc_id", "media_type", "n_bytes", "width", "height", "n_frames", "sample_rate")),
 
     // real byte transforms: BMP + PNG pixel resize (PNG through the full
@@ -317,14 +328,14 @@ object SparkEntry {
     // fields are decoded FROM THE TRANSFORMED BYTES, the oracle predicts
     // them by header arithmetic over the pinned input metadata
     "mm_transform" -> ((s, d) =>
-      Multimodal.transformMedia(Multimodal.withPayload(t(s, d)("documents"))).toDF()
+      Multimodal.transformMedia(Tables.media(s, d)).toDF()
         .select("doc_id", "media_type", "width", "height", "n_frames", "sample_rate")),
 
     // real feature extraction from payload bytes (mean pixel intensity over
     // BMP rows / PNG scanlines, mean |amplitude| over WAV samples — all
     // integer-exact); oracle = round-trip-pinned values
     "mm_features" -> ((s, d) =>
-      Multimodal.extractFeatures(Multimodal.withPayload(t(s, d)("documents")))))
+      Multimodal.extractFeatures(Tables.media(s, d))))
 
   def oracleSql: Map[String, String] = {
     val W = OracleSql.withParsed _
@@ -532,6 +543,11 @@ object SparkEntry {
         """SELECT fmt AS format, count(*) AS n, CAST(sum(bytes_sent) AS BIGINT) AS bytes
           |FROM (SELECT *, min(turn_idx) OVER (PARTITION BY conv_id) AS _det FROM parsed)
           |WHERE turn_idx <> _det GROUP BY 1""".stripMargin),
+
+      // over the RAW transcript table (pre-parse), like the streaming source
+      "s6_conv_progress" ->
+        s"""SELECT conv_id, count(*) AS turns, CAST(max(turn_idx) AS INT) AS max_turn_idx
+           |FROM read_parquet('${OracleSql.transcriptsGlob}') GROUP BY 1""".stripMargin,
 
       // expected values derived BY HAND from the reference semantics, the
       // same numbers its own tests assert (os_metrics_test.go:64-175) —

@@ -60,4 +60,31 @@ object Tables {
     val lay = TranscriptGen.layout(n)
     (0L until n).map(i => TranscriptGen.turn(i, lay))
   }
+
+  def mediaPath(sfDir: String): String = s"$dataRoot/media/v1/${sfName(sfDir)}"
+
+  /** The (doc_id, payload binary) MEDIA TABLE, synthesized on first use —
+    * exactly how a production multimodal pipeline holds media: encoded
+    * container bytes stored once as an opaque binary column, decoded by the
+    * operators that need pixels/samples. The mm_* queries scan this table;
+    * re-running the container ENCODER per query (the pre-r4 shape) charged
+    * synth cost to every decode benchmark. Deterministic per doc — the
+    * payload bytes are a pure function of (doc_id, text), so the pinned sig
+    * tables stay valid wherever this regenerates.
+    */
+  def media(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val path = mediaPath(sfDir)
+    if (!Files.exists(Paths.get(path, "_SUCCESS")))
+      graft.operators.Multimodal.withPayload(read(spark, sfDir, "documents"))
+        .repartition(16, col("doc_id"))
+        .write.mode(SaveMode.Overwrite).parquet(path)
+    // local media tables are a few small files, and parquet splits at file
+    // granularity — one scan task would serialize the whole decode. A
+    // hash exchange of the (tiny) payload table buys full decode
+    // parallelism; at lake scale the file count itself provides it and
+    // this becomes a no-op-sized shuffle relative to the decode work.
+    spark.read.parquet(path)
+      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+  }
 }
