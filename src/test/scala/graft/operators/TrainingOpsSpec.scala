@@ -372,6 +372,29 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     val rt = Multimodal.decodePngPixels(Multimodal.encodePngPixels(3, 6, raw))
     assert(rt != null && rt._3.toSeq == raw.toSeq)
 
+    // multiple IDAT chunks: the spec allows the zlib stream to split at any
+    // byte boundary — the decoder must concatenate before inflating
+    val z = zbuf.take(zlen)
+    val split = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a) ++
+      chunk("IHDR", ihdr) ++ chunk("IDAT", z.take(3)) ++ chunk("IDAT", z.drop(3)) ++
+      chunk("IEND", Array.empty)
+    val splitDecoded = Multimodal.decodePngPixels(split)
+    assert(splitDecoded != null && splitDecoded._3.toSeq == decoded._3.toSeq,
+      "split IDAT stream must decode identically")
+
+    // fuzz: arbitrary byte soup (including soup behind a valid signature and
+    // IHDR) must return null or pixels — never throw, hang, or over-allocate
+    val fuzzRnd = new scala.util.Random(99L)
+    for (_ <- 1 to 300) {
+      val n = fuzzRnd.nextInt(200)
+      val soup = Array.fill(n)(fuzzRnd.nextInt().toByte)
+      Multimodal.decodePngPixels(soup) // must simply not throw
+      val headed = png.take(33) ++ soup
+      Multimodal.decodePngPixels(headed)
+      Multimodal.decodeMedia(0L, soup)
+      Multimodal.featMilli(soup)
+    }
+
     // corrupt/unsupported PNGs: null, never a throw or unbounded alloc
     assert(Multimodal.decodePngPixels(png.take(40)) == null)          // truncated
     val bomb = png.clone                                              // giant IHDR dims
