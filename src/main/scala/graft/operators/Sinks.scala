@@ -25,9 +25,10 @@ object Sinks {
     * no atomic swap, so the commit is a THREE-step rename dance: target →
     * backup, staging → target, drop backup. Each rename is atomic on
     * HDFS-like filesystems, and a crash between any two steps leaves a
-    * complete copy of the table on disk (at `._backup` if the crash hit
-    * mid-swap — recover by renaming it back); nothing is deleted until the
-    * new table is in place.
+    * complete copy of the table on disk; nothing is deleted until the new
+    * table is in place, and the next writeMetrics call auto-recovers a
+    * `._backup` orphaned by a mid-swap crash before reading or writing
+    * anything.
     */
   /** the sink's row shape: domain-id broadcast join + key truncation */
   def withDomainRows(metricRows: DataFrame, domainDim: DataFrame): DataFrame =
@@ -43,6 +44,17 @@ object Sinks {
     val hconf = spark.sparkContext.hadoopConfiguration
     val target = new org.apache.hadoop.fs.Path(outDir)
     val fs = target.getFileSystem(hconf)
+    // crash recovery: a ._backup with no committed target means a previous
+    // accumulate died between its two renames — restore the old table
+    // FIRST, otherwise an accumulate run would treat the sink as empty and
+    // silently drop everything the backup holds
+    val recoverBackup = new org.apache.hadoop.fs.Path(outDir + "._backup")
+    if (!fs.exists(new org.apache.hadoop.fs.Path(outDir, "_SUCCESS")) &&
+        fs.exists(new org.apache.hadoop.fs.Path(recoverBackup, "_SUCCESS"))) {
+      if (fs.exists(target)) fs.delete(target, true) // partial swap leftovers
+      if (!fs.rename(recoverBackup, target))
+        throw new java.io.IOException(s"backup recovery failed: $recoverBackup -> $target")
+    }
     if (replace || !fs.exists(new org.apache.hadoop.fs.Path(outDir, "_SUCCESS"))) {
       withDomain.write.mode(SaveMode.Overwrite).partitionBy("metric_type").parquet(outDir)
     } else {

@@ -202,6 +202,36 @@ class PipelineAppSpec extends AnyFunSuite with SparkTestBase {
     assert(replaced == halfOnly)
   }
 
+  test("accumulate swap crash recovery: an orphaned ._backup is restored, not dropped") {
+    import graft.operators.{Aggregates, Enrich, Sinks}
+    import spark.implicits._
+    val parsed = ParseStage.parse(spark.createDataset(Tables.localTurns(2000)).toDF())
+    val dim = Enrich.withDomainId(parsed).select("conv_id", "domain_id").distinct()
+    def metricsOf(df: org.apache.spark.sql.DataFrame) = Aggregates.metricRows(df)
+    val halfA = parsed.filter(col("turn_idx") % 2 === 0)
+    val halfB = parsed.filter(col("turn_idx") % 2 =!= 0)
+    val dir = java.nio.file.Files.createTempDirectory("graft-acc-crash").toString + "/metrics"
+    Sinks.writeMetrics(metricsOf(halfA), dim, dir, replace = false)
+    // simulate a crash between the two swap renames: the table sits at
+    // ._backup, no committed target exists
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir), new org.apache.hadoop.fs.Path(dir + "._backup")))
+    // the next accumulate must RECOVER the backup first — summing with it,
+    // not starting from an empty sink
+    Sinks.writeMetrics(metricsOf(halfB), dim, dir, replace = false)
+    val accumulated = spark.read.parquet(dir)
+      .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
+      .collect().map(_.toSeq).toSet
+    val dirFull = java.nio.file.Files.createTempDirectory("graft-acc-crash-full").toString + "/metrics"
+    Sinks.writeMetrics(metricsOf(parsed), dim, dirFull, replace = true)
+    val full = spark.read.parquet(dirFull)
+      .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
+      .collect().map(_.toSeq).toSet
+    assert(accumulated == full)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir + "._backup"))) // consumed by the swap
+  }
+
   test("writerV2 metrics table: createOrReplace + accumulate merge against the catalog") {
     import graft.operators.{Aggregates, Enrich, Sinks}
     import spark.implicits._
