@@ -265,12 +265,29 @@ object Bench {
     val histPath = java.nio.file.Paths.get("/root/repo/data/bench_history.jsonl")
     def ratioOf(rs: Seq[(Double, Seq[Double], Double, Seq[Double])]): Double =
       rs.map(_._1).min / rs.map(_._3).min
-    val past: Seq[Double] =
+    // history lines: "2.6500" = clean, "d 2.6500" = flagged-deviant at
+    // record time. Deviant entries are EXCLUDED from the median (ADVICE r3:
+    // polluted samples must not feed the pollution detector) but still
+    // recorded, so a genuine machine-characteristic shift can be told apart
+    // from noise: if the last `regimeWindow` entries are ALL deviant, the
+    // machine has moved and the median re-bases on everything — otherwise a
+    // one-time shift would wedge the guard into rejecting every future run.
+    val allPast: Seq[(Boolean, Double)] =
       if (java.nio.file.Files.exists(histPath))
         scala.jdk.CollectionConverters.ListHasAsScala(
           java.nio.file.Files.readAllLines(histPath)).asScala.toSeq
-          .flatMap(l => scala.util.Try(l.trim.toDouble).toOption)
+          .flatMap { l =>
+            val t = l.trim
+            if (t.startsWith("d "))
+              scala.util.Try(t.drop(2).trim.toDouble).toOption.map(v => (true, v))
+            else scala.util.Try(t.toDouble).toOption.map(v => (false, v))
+          }
       else Seq.empty
+    val regimeWindow = 3
+    val regimeShift = allPast.size >= regimeWindow &&
+      allPast.takeRight(regimeWindow).forall(_._1)
+    val past: Seq[Double] =
+      (if (regimeShift) allPast else allPast.filterNot(_._1)).map(_._2).takeRight(12)
     var deviated = false
     if (past.size >= 2) {
       val med = past.sorted.apply(past.size / 2)
@@ -282,18 +299,17 @@ object Bench {
           (rawMin(8, 2), jobBlock(8, 2), rawMin(32, 2), jobBlock(32, 2))
         }
         // still deviant after the extra rounds? then this run sampled a
-        // polluted window end-to-end
+        // polluted window end-to-end (or the machine moved — the regime
+        // check above resolves which on later runs)
         deviated = math.abs(ratioOf(rounds) - med) / med > 0.2
       }
     }
-    // ADVICE r3: a run the guard itself flagged as polluted must not feed
-    // the median used to detect pollution in future runs
-    if (!deviated) {
-      java.nio.file.Files.createDirectories(histPath.getParent)
-      java.nio.file.Files.writeString(histPath, f"${ratioOf(rounds)}%.4f%n",
-        java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
-    } else System.err.println(s"[bench] ratio still deviant after extra rounds — " +
-      "NOT appended to bench_history (polluted window)")
+    java.nio.file.Files.createDirectories(histPath.getParent)
+    java.nio.file.Files.writeString(histPath,
+      (if (deviated) "d " else "") + f"${ratioOf(rounds)}%.4f%n",
+      java.nio.file.StandardOpenOption.CREATE, java.nio.file.StandardOpenOption.APPEND)
+    if (deviated) System.err.println("[bench] ratio still deviant after extra rounds — " +
+      "recorded as deviant ('d' tag): excluded from the guard median unless a regime shift")
     val raw8 = rounds.map(_._1).min
     val t8 = rounds.flatMap(_._2).min
     val raw32 = rounds.map(_._3).min

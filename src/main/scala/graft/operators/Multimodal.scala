@@ -178,7 +178,9 @@ object Multimodal {
     var ok = true
     while (ok && off + 8 <= bytes.length) {
       val len = beInt(bytes, off)
-      if (len < 0 || off + 12 + len > bytes.length) ok = false
+      // Long arithmetic: a near-MaxInt declared length would wrap the Int
+      // sum negative and slip past the guard it exists for
+      if (len < 0 || off.toLong + 12 + len > bytes.length) ok = false
       else {
         if (ascii(bytes, off + 4, "IDAT")) idat.write(bytes, off + 8, len)
         off += 12 + len
@@ -344,10 +346,13 @@ object Multimodal {
     val w = leInt(bytes, 18)
     val h = math.abs(leInt(bytes, 22))
     val pixelOffset = leInt(bytes, 10)
-    val rowSize = ((w * 3 + 3) / 4) * 4
+    // row size in LONG: w near MaxInt/3 wraps w*3 negative in Int and a
+    // negative h*rowSize product would sail under the truncation guard
+    val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4
     // untrusted header: truncated pixel data → null (caller drops the row)
     if (w <= 0 || h <= 0 || pixelOffset < 0 ||
-        pixelOffset.toLong + h.toLong * rowSize > bytes.length) return null
+        pixelOffset.toLong + h.toLong * rowSizeL > bytes.length) return null
+    val rowSize = rowSizeL.toInt // fits: bounded by bytes.length above
     val outRowSize = ((tw * 3 + 3) / 4) * 4
     val out = new Array[Byte](outRowSize * th)
     var ty = 0
@@ -390,8 +395,9 @@ object Multimodal {
       val size = leInt(bytes, off + 4)
       // a negative or overrunning declared size means a corrupt/truncated
       // chunk: stop the walk (a size of -8 would otherwise pin `off` in
-      // place and spin the executor thread forever)
-      if (size < 0 || off + 8 + size > bytes.length) ok = false
+      // place and spin the executor thread forever; the sum is Long so a
+      // near-MaxInt size can't wrap negative past the guard)
+      if (size < 0 || off.toLong + 8 + size > bytes.length) ok = false
       else {
         if (ascii(bytes, off, "fmt ") && off + 24 <= bytes.length) {
           channels = leShort(bytes, off + 10)
@@ -452,11 +458,12 @@ object Multimodal {
       val w = leInt(bytes, 18)
       val h = math.abs(leInt(bytes, 22))
       val pixelOffset = leInt(bytes, 10)
-      val rowSize = ((w * 3 + 3) / 4) * 4
+      val rowSizeL = ((w.toLong * 3 + 3) / 4) * 4 // Long: w*3 can wrap Int
       // header fields are untrusted: a truncated/corrupt payload must yield
       // the no-feature sentinel, not an out-of-bounds task failure
       if (w <= 0 || h <= 0 || pixelOffset < 0 ||
-          pixelOffset.toLong + h.toLong * rowSize > bytes.length) return -1L
+          pixelOffset.toLong + h.toLong * rowSizeL > bytes.length) return -1L
+      val rowSize = rowSizeL.toInt // fits: bounded by bytes.length above
       var sum = 0L
       var y = 0
       while (y < h) {
@@ -484,7 +491,7 @@ object Multimodal {
       var ok = true
       while (ok && off + 8 <= bytes.length) {
         val size = leInt(bytes, off + 4)
-        if (size < 0 || off + 8 + size > bytes.length) ok = false // corrupt chunk: stop
+        if (size < 0 || off.toLong + 8 + size > bytes.length) ok = false // corrupt chunk: stop
         else {
           if (ascii(bytes, off, "data")) { dataOff = off + 8; dataLen = size }
           off += 8 + size + (size & 1)
@@ -550,8 +557,9 @@ object Multimodal {
       while (ok && off + 8 <= bytes.length) {
         val size = leInt(bytes, off + 4)
         // corrupt/adversarial declared size (negative, or past the payload
-        // end): stop the walk rather than loop forever or read out of bounds
-        if (size < 0 || off + 8 + size > bytes.length) ok = false
+        // end): stop the walk rather than loop forever or read out of
+        // bounds — Long sum so near-MaxInt sizes can't wrap past the guard
+        if (size < 0 || off.toLong + 8 + size > bytes.length) ok = false
         else {
           if (ascii(bytes, off, "fmt ") && off + 24 <= bytes.length) {
             sampleRate = leInt(bytes, off + 12)

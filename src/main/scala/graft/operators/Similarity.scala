@@ -90,20 +90,30 @@ object Similarity {
         col("n.neighbor_id").as("neighbor_id"),
         col("n.cosine").as("cosine"))
 
-  /** Should the query side be broadcast? Decided by Catalyst's own size
-    * estimate against spark.sql.autoBroadcastJoinThreshold — the same
-    * statistic the planner would use, no extra job. Re-ranking runs with
-    * small query sets (the common case) broadcast and each query probes its
-    * buckets locally; a batch-ANN run whose query set exceeds the threshold
-    * (e.g. 10⁸ queries re-ranked against the corpus) falls back to shuffled
-    * equi-joins on the bucket key — same results, no 8 GB broadcast OOM.
-    * Estimates are conservative (a filtered scan reports the unfiltered
-    * size), which errs toward shuffle — the safe side at scale. Callers can
-    * force either path via the explicit parameter.
+  /** Should the query side be broadcast against
+    * spark.sql.autoBroadcastJoinThreshold? Two tiers:
+    *  1. Catalyst's own size estimate — free, and sufficient when the
+    *     query set is an unfiltered small table.
+    *  2. If the estimate exceeds the threshold, MEASURE before giving up:
+    *     without CBO a Filter reports its child scan's size, so the common
+    *     "8 query vectors filtered out of a big corpus" would silently
+    *     lose its broadcast at corpus scale. One count() of the query side
+    *     plus the actual first-row vector width prices the real payload;
+    *     the extra job is trivial next to the join it sizes.
+    * Re-ranking runs with small query sets broadcast and probe their
+    * buckets locally; a batch-ANN run whose query set genuinely exceeds
+    * the threshold (e.g. 10⁸ queries) falls back to shuffled equi-joins on
+    * the bucket key — same results, no broadcast OOM. Callers can force
+    * either path via the explicit parameter.
     */
   private def shouldBroadcastQueries(queries: DataFrame): Boolean = {
     val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
-    threshold > 0 && queries.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold
+    if (threshold <= 0) return false
+    if (queries.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold) return true
+    val firstVec = queries.select(col("embedding")).head(1)
+    if (firstVec.isEmpty) return true
+    val perRow = 32L + 4L * firstVec(0).getSeq[Float](0).length // id + array overhead + floats
+    queries.count() * perRow <= threshold
   }
 
   private def maybeBroadcast(df: DataFrame, bcast: Boolean): DataFrame =
@@ -212,6 +222,14 @@ object Similarity {
     * the probed buckets only. Each query scores ≈ nprobe/nlist of the
     * corpus instead of all of it; the bucket join is a plain equi-join on
     * a small int key.
+    *
+    * Sizing at scale: in the shuffled-queries regime the join key is
+    * `cent`, so reducer parallelism (and reducer memory) is bounded by
+    * nlist — a beyond-broadcast batch run MUST raise nlist with the
+    * corpus (standard IVF practice is nlist ≈ √N, e.g. 10⁴ lists for 10⁸
+    * vectors, which also keeps each probed bucket ~√N rows); AQE's
+    * skew-join split handles residual hot buckets. The default nlist=16
+    * fits the registered small-corpus queries only.
     */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nlist: Int = 16, iters: Int = 4, nprobe: Int = 4,

@@ -30,7 +30,12 @@ object SigTables {
   // synth-on-first-use: a machine carrying older tables must regenerate,
   // not silently serve the stale schema. (v4: real-container decode fields
   // width/height/n_frames/sample_rate, xxh64 split hash, feat_milli.)
-  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/v5/${Tables.sfName(sfDir)}"
+  // The materialized MEDIA table (Tables.media) shares this version: it is
+  // derived from the same encoder, so any change that invalidates the
+  // pinned signatures invalidates the stored payload bytes too — one bump
+  // regenerates both.
+  val synthVersion = "v5"
+  def root(sfDir: String): String = s"${Tables.dataRoot}/sigs/$synthVersion/${Tables.sfName(sfDir)}"
   def docSigsPath(sfDir: String): String = s"${root(sfDir)}/doc_sigs"
   def minhashBandsPath(sfDir: String): String = s"${root(sfDir)}/minhash_bands"
   def embSigsPath(sfDir: String): String = s"${root(sfDir)}/emb_sigs"

@@ -61,7 +61,11 @@ object Tables {
     (0L until n).map(i => TranscriptGen.turn(i, lay))
   }
 
-  def mediaPath(sfDir: String): String = s"$dataRoot/media/v1/${sfName(sfDir)}"
+  // versioned by the SAME constant as the sig tables: both are pure
+  // functions of the container encoder, so an encoder change (which forces
+  // a sig re-synthesis) also invalidates the stored payload bytes
+  def mediaPath(sfDir: String): String =
+    s"$dataRoot/media/${SigTables.synthVersion}/${sfName(sfDir)}"
 
   /** The (doc_id, payload binary) MEDIA TABLE, synthesized on first use —
     * exactly how a production multimodal pipeline holds media: encoded

@@ -433,6 +433,36 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(Multimodal.decodeMedia(13L, truncBmp).media_type == "bmp") // header parses
     assert(Multimodal.featMilli(truncBmp) == -1L)
     assert(Multimodal.resizeBmp(truncBmp, 2, 2) == null)
+
+    // Int-overflow guards (code-review r4): near-MaxInt declared sizes must
+    // not wrap the bounds arithmetic negative and slip past the guards
+    val evilRiff = {
+      val bb = java.nio.ByteBuffer.allocate(48).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(40).put("WAVE".getBytes("US-ASCII"))
+      bb.put("data".getBytes("US-ASCII")).putInt(0x7ffffff0)
+      bb.array()
+    }
+    assert(Multimodal.decodeMedia(15L, evilRiff).n_frames == 0)
+    assert(Multimodal.featMilli(evilRiff) == -1L)
+    assert(Multimodal.sampleWavFrames(evilRiff, 4).length >= 44)
+    val evilPngChunk = {
+      val base = Multimodal.encodePng(1, 1, "x".getBytes("UTF-8"))
+      val bb = java.nio.ByteBuffer.allocate(41 + 8)
+      bb.put(base, 0, 33) // sig + IHDR
+      bb.putInt(0x7ffffff0).put("IDAT".getBytes("US-ASCII"))
+      bb.array()
+    }
+    assert(Multimodal.decodePngPixels(evilPngChunk) == null)
+    assert(Multimodal.featMilli(evilPngChunk) == -1L)
+    val evilBmp = {
+      val bb = java.nio.ByteBuffer.allocate(100).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(100).putShort(0).putShort(0).putInt(54)
+        .putInt(40).putInt(800000000).putInt(1) // w*3 wraps Int negative
+        .putShort(1).putShort(24).putInt(0)
+      bb.array()
+    }
+    assert(Multimodal.featMilli(evilBmp) == -1L)
+    assert(Multimodal.resizeBmp(evilBmp, 2, 2) == null)
   }
 
   test("language id picks the language with most stopword hits, deterministic ties") {
