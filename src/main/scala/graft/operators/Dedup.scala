@@ -174,14 +174,33 @@ object Dedup {
       k: Int = 32, bands: Int = 8): DataFrame = {
     def banded(df: DataFrame) = df
       .select(col("doc_id"), posexplode(minhashUdf(k, bands)(col("text"))).as(Seq("band", "band_key")))
-    val cand = banded(fresh).alias("n")
-      .join(banded(corpus).alias("o"),
+    incrementalNearDupsPrebanded(
+      banded(corpus), shingleSets(corpus, "doc_id", "shingles"), fresh, threshold, k, bands)
+  }
+
+  /** Incremental near-dup against PRE-MATERIALIZED corpus signature tables —
+    * the production daily-ingest form. The corpus text is never re-scanned,
+    * re-banded, or re-shingled: its band table (doc_id, band, band_key) and
+    * shingle table (doc_id, shingles — sorted distinct hashes) are
+    * maintained incrementally (append each accepted batch's signature rows
+    * after ingest), which is exactly the shape SigTables materializes. Per
+    * day the work is batch-bands × corpus-band-table equi-join + shingle
+    * fetch by id for the candidates — cost scales with the batch and the
+    * candidate count, not the corpus.
+    */
+  def incrementalNearDupsPrebanded(corpusBands: DataFrame, corpusShingles: DataFrame,
+      fresh: DataFrame, threshold: Double, k: Int = 32, bands: Int = 8): DataFrame = {
+    val freshBands = fresh
+      .select(col("doc_id"), posexplode(minhashUdf(k, bands)(col("text"))).as(Seq("band", "band_key")))
+    val cand = freshBands.alias("n")
+      .join(corpusBands.alias("o"),
         col("n.band") === col("o.band") && col("n.band_key") === col("o.band_key"))
       .select(col("n.doc_id").as("new_id"), col("o.doc_id").as("old_id"))
       .distinct()
     cand
       .join(shingleSets(fresh, "new_id", "new_sh"), "new_id")
-      .join(shingleSets(corpus, "old_id", "old_sh"), "old_id")
+      .join(corpusShingles.select(col("doc_id").as("old_id"), col("shingles").as("old_sh")),
+        "old_id")
       .withColumn("jaccard", jaccardSortedUdf(col("new_sh"), col("old_sh")))
       .filter(col("jaccard") >= threshold)
       .select("new_id", "old_id", "jaccard")

@@ -75,6 +75,26 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(got.nonEmpty, "crafted corpus must contain cross-parity near-dups")
   }
 
+  test("prebanded incremental dedup (materialized sig tables) equals the from-text path") {
+    import spark.implicits._
+    val corpus = crafted.filter(col("doc_id") % 2 === 0)
+    val fresh = crafted.filter(col("doc_id") % 2 =!= 0)
+    // materialize the corpus signature tables exactly as SigTables does
+    val corpusBands = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .flatMap { case (id, text) =>
+        Dedup.bandKeys(Dedup.minhashSig(text, 32), 8).zipWithIndex.map { case (bk, b) => (id, b, bk) }
+      }.toDF("doc_id", "band", "band_key")
+    val corpusShingles = corpus.select(col("doc_id"), col("text")).as[(Long, String)]
+      .map { case (id, text) => (id, Dedup.sortedShingles(text).toSeq) }
+      .toDF("doc_id", "shingles")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val fromText = pairs(Dedup.incrementalNearDups(corpus, fresh, 0.5))
+    val prebanded = pairs(Dedup.incrementalNearDupsPrebanded(corpusBands, corpusShingles, fresh, 0.5))
+    assert(prebanded == fromText)
+    assert(prebanded.nonEmpty)
+  }
+
   test("cluster formation: components collapse to min-id keepers, chains included") {
     import spark.implicits._
     // chain 1-2-3-4 (diameter 3 → needs real iteration, not one-hop min),
