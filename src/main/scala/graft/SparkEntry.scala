@@ -259,6 +259,21 @@ object SparkEntry {
         docs.filter(col("doc_id") % 2 === 1), 0.5)
     }),
 
+    // the SAME daily-ingest slice computed from the PRE-MATERIALIZED corpus
+    // signature tables (band + shingle parquet, the SigTables shape): the
+    // corpus text is never rescanned — the production incremental form
+    "dedup_incr_prebanded" -> ((s, d) => {
+      graft.sources.SigTables.ensure(s, d) // idempotent synth-on-first-use
+      val corpusBands = s.read.parquet(graft.sources.SigTables.minhashBandsPath(d))
+        .filter(col("doc_id") % 2 === 0)
+      val corpusShingles = s.read.parquet(graft.sources.SigTables.docSigsPath(d))
+        .select(col("doc_id"), col("shingles"))
+        .filter(col("doc_id") % 2 === 0)
+      Dedup.incrementalNearDupsPrebanded(
+        corpusBands, corpusShingles,
+        t(s, d)("documents").filter(col("doc_id") % 2 =!= 0), 0.5)
+    }),
+
     // cluster formation: connected components over the MinHash near-dup pair
     // set (min-label propagation + pointer jumping), every doc mapped to its
     // canonical keeper — the join table a 100 TB dedup actually applies
@@ -630,6 +645,24 @@ object SparkEntry {
            |SELECT a_id, b_id, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
 
       "dedup_incremental" ->
+        s"""WITH b AS (SELECT * FROM read_parquet('${OracleSql.minhashBandsGlob}')),
+           |d AS (SELECT * FROM read_parquet('${OracleSql.docSigsGlob}')),
+           |cand AS (
+           |  SELECT DISTINCT n.doc_id AS new_id, o.doc_id AS old_id
+           |  FROM b n JOIN b o ON n.band = o.band AND n.band_key = o.band_key
+           |  WHERE n.doc_id % 2 = 1 AND o.doc_id % 2 = 0
+           |),
+           |j AS (
+           |  SELECT new_id, old_id,
+           |    CAST(len(list_intersect(dn.shingles, dd.shingles)) AS DOUBLE) /
+           |    (len(dn.shingles) + len(dd.shingles) - len(list_intersect(dn.shingles, dd.shingles))) AS jaccard
+           |  FROM cand JOIN d dn ON dn.doc_id = new_id JOIN d dd ON dd.doc_id = old_id
+           |)
+           |SELECT new_id, old_id, jaccard FROM j WHERE jaccard >= 0.5""".stripMargin,
+
+      // identical oracle as dedup_incremental: the engine's prebanded path
+      // must land on the same pairs/jaccards as its from-text form
+      "dedup_incr_prebanded" ->
         s"""WITH b AS (SELECT * FROM read_parquet('${OracleSql.minhashBandsGlob}')),
            |d AS (SELECT * FROM read_parquet('${OracleSql.docSigsGlob}')),
            |cand AS (
