@@ -172,6 +172,7 @@ object Bench {
       "dedup_embedding" -> SparkEntry.queries("dedup_embedding"),
       "dedup_clusters" -> SparkEntry.queries("dedup_clusters"),
       "dedup_incremental" -> SparkEntry.queries("dedup_incremental"),
+      "dedup_incr_prebanded" -> SparkEntry.queries("dedup_incr_prebanded"),
       "ann_topk" -> SparkEntry.queries("ann_topk"),
       "ann_lsh" -> SparkEntry.queries("ann_lsh"),
       "ann_ivf" -> SparkEntry.queries("ann_ivf"),
@@ -184,7 +185,8 @@ object Bench {
       "mm_binary_meta" -> SparkEntry.queries("mm_binary_meta"),
       "mm_decode" -> SparkEntry.queries("mm_decode"),
       "mm_transform" -> SparkEntry.queries("mm_transform"),
-      "mm_features" -> SparkEntry.queries("mm_features"))
+      "mm_features" -> SparkEntry.queries("mm_features"),
+      "s6_conv_progress" -> SparkEntry.queries("s6_conv_progress"))
 
     // 3 samples per query, INTERLEAVED: the whole headline list runs as 3
     // round-robin passes (pass 1 pays JIT/compile, all passes full

@@ -76,9 +76,11 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
   }
 
   test("dedup_incremental: batch×corpus is a band equi-join, never a cross product") {
-    val p = plan("dedup_incremental")
-    assert(!p.contains("CartesianProduct"), p.take(800))
-    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(800))
+    Seq("dedup_incremental", "dedup_incr_prebanded").foreach { q =>
+      val p = plan(q)
+      assert(!p.contains("CartesianProduct"), s"$q: ${p.take(800)}")
+      assert(!p.contains("BroadcastNestedLoopJoin"), s"$q: ${p.take(800)}")
+    }
   }
 
   test("minhash/incremental verify joins carry shingle arrays by id — never raw text") {
