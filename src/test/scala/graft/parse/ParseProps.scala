@@ -103,6 +103,18 @@ object ParseProps extends Properties("graft.parse") {
     }
   }
 
+  property("jaccardSorted == set jaccard for arbitrary texts (bitwise)") = {
+    val textGen = Gen.listOf(Gen.oneOf("spark", "data", "row", "agg", "scan",
+      "join", "key", "window", "batch", "merge", "a", "b")).map(_.mkString(" "))
+    forAll(textGen, textGen) { (a, b) =>
+      val viaSets = graft.operators.Dedup.jaccard(a, b)
+      val viaArrays = graft.operators.Dedup.jaccardSorted(
+        graft.operators.Dedup.sortedShingles(a), graft.operators.Dedup.sortedShingles(b))
+      java.lang.Double.doubleToRawLongBits(viaSets) ==
+        java.lang.Double.doubleToRawLongBits(viaArrays)
+    }
+  }
+
   property("time window floors to the configured size in the event's own offset") =
     forAll(Gen.chooseNum(0L, 4102444800L), Gen.oneOf(1, 5, 10, 15, 30, 60),
       Gen.oneOf(-43200, -25200, 0, 3600, 19800)) { (epoch, w, off) =>
