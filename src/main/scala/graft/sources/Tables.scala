@@ -84,11 +84,15 @@ object Tables {
         .repartition(16, col("doc_id"))
         .write.mode(SaveMode.Overwrite).parquet(path)
     // local media tables are a few small files, and parquet splits at file
-    // granularity — one scan task would serialize the whole decode. A
-    // hash exchange of the (tiny) payload table buys full decode
-    // parallelism; at lake scale the file count itself provides it and
-    // this becomes a no-op-sized shuffle relative to the decode work.
-    spark.read.parquet(path)
-      .repartition(spark.sparkContext.defaultParallelism, col("doc_id"))
+    // granularity — one scan task would serialize the whole decode. When
+    // (and only when) the scan yields fewer splits than the engine has
+    // cores, a hash exchange of the small table buys full decode
+    // parallelism. At lake scale the file count already exceeds the
+    // cluster's cores and the condition is false — a 100 TB payload table
+    // must NOT be shuffled just to decode it.
+    val df = spark.read.parquet(path)
+    val parallelism = spark.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions >= parallelism) df
+    else df.repartition(parallelism, col("doc_id"))
   }
 }
