@@ -75,6 +75,16 @@ class PlanSpec extends AnyFunSuite with SparkTestBase {
     }
   }
 
+  test("registered ann queries keep the query-side broadcast under the auto decision") {
+    // guards the size-based fallback from flipping the small registered
+    // query sets to a shuffle (stats are filter-blind; the measured tier
+    // must kick in and choose broadcast here)
+    Seq("ann_lsh", "ann_ivf").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"), s"$q lost its broadcast:\n${p.take(800)}")
+    }
+  }
+
   test("dedup_incremental: batch×corpus is a band equi-join, never a cross product") {
     Seq("dedup_incremental", "dedup_incr_prebanded").foreach { q =>
       val p = plan(q)
