@@ -197,6 +197,12 @@ object Bench {
     // one of them. The per-query max is recorded alongside so residual
     // noise is VISIBLE in the artifact instead of silently absorbed.
     val passes = (1 to 3).map { _ =>
+      // GC barrier between passes: a pass leaves dozens of torrent
+      // broadcasts and codegen artifacts pinned until the next collection,
+      // and that debt lands on whichever queries run later (measured:
+      // a6 samples 2x slower mid-session than in a fresh one). Collect it
+      // between passes so each pass starts from comparable heap state.
+      System.gc()
       headline.map { case (name, fn) =>
         name -> time {
           try fn(spark, sfDir).count()
