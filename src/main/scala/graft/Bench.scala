@@ -198,10 +198,12 @@ object Bench {
     // noise is VISIBLE in the artifact instead of silently absorbed.
     val passes = (1 to 3).map { _ =>
       // GC barrier between passes: a pass leaves dozens of torrent
-      // broadcasts and codegen artifacts pinned until the next collection,
-      // and that debt lands on whichever queries run later (measured:
-      // a6 samples 2x slower mid-session than in a fresh one). Collect it
-      // between passes so each pass starts from comparable heap state.
+      // broadcasts and codegen artifacts pinned until the next collection;
+      // collecting between passes starts each pass from comparable heap
+      // state. (It does NOT close the whole in-session gap — a6 still
+      // samples ~2x its fresh-session time mid-bench, recorded in BENCH.md
+      // with the isolated QueryProbe number; the max column keeps the
+      // spread visible.)
       System.gc()
       headline.map { case (name, fn) =>
         name -> time {
