@@ -29,6 +29,14 @@ object Bench {
       // this knob alone under identical load)
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.files.openCostInBytes", "1m")
+      // the default 100-entry codegen class cache LRU-thrashes on a
+      // 30-query suite: by the time a pass returns to a query, its
+      // generated classes are evicted and the sample pays a 1-2 s Janino
+      // recompile (measured: a6 3.56 s right after 10 other queries,
+      // 1.61 s with this raised — and back to 1.6 on the SECOND run either
+      // way, the recompile signature). Any real multi-query deployment
+      // wants this above its distinct-plan count.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
