@@ -377,7 +377,7 @@ object Bench {
       f""""efficiency_vs_hw_ceiling":$effVsHw%.3f}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-        s""""queries_max":$qsMax,"history_appended":${!deviated},"sf":"$sfDir","scaling":$scaling}"""
+        s""""queries_max":$qsMax,"ratio_deviant":$deviated,"sf":"$sfDir","scaling":$scaling}"""
     // stdout AND a file: the driver could not machine-parse the JSON out of
     // sbt's [info]-prefixed stdout in round 1 ("parsed": null)
     println(json)

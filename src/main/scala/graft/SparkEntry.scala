@@ -159,13 +159,41 @@ object SparkEntry {
         col("Malicious").as("malicious"), col("IsOutOfOrder").as("is_out_of_order"))),
 
     // R3: the metrics-sink table exactly as written (domain surrogate join +
-    // 100-char key truncation, mysqldb.go:144-159)
+    // 100-char key truncation, mysqldb.go:144-159). Single scan: domain_name
+    // rides through the metric aggregation as an extra group key (each line
+    // carries its own domain, exactly like the reference's per-line
+    // GetDomainId) and the tiny materialized dim maps name → id by
+    // broadcast afterward — no separate conv→domain corpus pass.
     "r3_metrics_sink" -> ((s, d) => {
-      val p = parsed(s, d)
-      val dim = Enrich.withDomainId(p).select("conv_id", "domain_id").distinct()
-      Aggregates.metricRows(p)
-        .join(broadcast(dim), Seq("conv_id"), "left")
+      val p = parsed(s, d).withColumn("domain_name",
+        coalesce(nullif(col("domain"), lit("")), lit(graft.sources.TranscriptGen.defaultDomain)))
+      Aggregates.metricRows(p, keyCols = Seq("conv_id", "domain_name"))
+        .join(broadcast(graft.sources.DimTables.domain(s, d)), Seq("domain_name"), "left")
         .withColumn("key_value", substring(col("key_value"), 0, 100))
+        .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
+    }),
+
+    // R3 accumulate mode (mysqldb.go:147-151: metric_value = metric_value +
+    // VALUES(metric_value)): two half-corpus incremental runs — even turns,
+    // then odd turns — through the REAL read-merge-write sink (3-step atomic
+    // rename swap), then the committed table read back. The halves overlap
+    // on every (conv, metric, key, window) group, so a union-instead-of-sum
+    // bug diverges from the oracle, which is simply the FULL corpus metric
+    // table (row-additive sums: accumulate(evens)+accumulate(odds) ≡ full).
+    "r3_metrics_accumulate" -> ((s, d) => {
+      val out = s"${Tables.dataRoot}/tmp/metrics_accumulate/${Tables.sfName(d)}"
+      val fs = new org.apache.hadoop.fs.Path(out)
+        .getFileSystem(s.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(out), true) // deterministic rerun
+      val p = parsed(s, d)
+      val dim = Enrich.withDomainIdFrom(p, graft.sources.DimTables.domain(s, d))
+        .select("conv_id", "domain_id").distinct()
+      Seq(0, 1).foreach { parity =>
+        Sinks.writeMetrics(
+          Aggregates.metricRows(p.filter(col("turn_idx") % 2 === parity)),
+          dim, out, replace = false)
+      }
+      s.read.parquet(out)
         .select("domain_id", "conv_id", "metric_type", "key_value", "time_window", "metric_value")
     }),
 
@@ -232,12 +260,19 @@ object SparkEntry {
     // (os_metrics.go:69-160, os_metrics_test.go:64-175)
     "s5_os_metrics" -> ((s, _) => graft.metrics.OsMetrics.fixtureMetricsDf(s)),
 
+    // J1 via MATERIALIZED dims (sources.DimTables, built once per scale dir
+    // in one combined pass — the GetDomainId persistent-dimension shape):
+    // the registered plan scans the transcripts input exactly ONCE and
+    // broadcast-joins the tiny dim parquets (PlanSpec-pinned; the pre-r5
+    // inline form re-parsed the corpus a second time to derive the dims)
     "j1_enrich" -> ((s, d) => {
-      val e = Enrich.withRoleToolIds(parsed(s, d))
+      val e = Enrich.withRoleToolIdsFrom(parsed(s, d),
+        graft.sources.DimTables.role(s, d), graft.sources.DimTables.tool(s, d))
       e.groupBy("role", "role_id", "tool", "tool_id").agg(count(lit(1)).as("cnt"))
     }),
 
-    "j2_domain_enrich" -> ((s, d) => Enrich.withDomainId(parsed(s, d))
+    "j2_domain_enrich" -> ((s, d) => Enrich.withDomainIdFrom(parsed(s, d),
+        graft.sources.DimTables.domain(s, d))
       .groupBy("domain_name", "domain_id").agg(count(lit(1)).as("cnt"))),
 
     // ---------------------------------------------------- dedup / similarity
@@ -838,6 +873,9 @@ object SparkEntry {
           |FROM documents""".stripMargin)
     // a8 shares a6's SQL: arrival-order and batch sums coincide on the
     // bounded-lateness generated data (divergence pinned in PipelineAppSpec)
-    base + ("a8_arrival_metrics" -> base("a6_metric_rows"))
+    // r3_metrics_accumulate shares r3's SQL: the metric sums are row-additive,
+    // so two accumulated half-corpus runs must equal the full-corpus table
+    base + ("a8_arrival_metrics" -> base("a6_metric_rows")) +
+      ("r3_metrics_accumulate" -> base("r3_metrics_sink"))
   }
 }

@@ -69,7 +69,8 @@ object Aggregates {
     * Equal to the oracle's evictions+flush totals because the generator
     * bounds lateness below the eviction horizon (SURVEY.md §7.4 item 2).
     */
-  def metricRows(parsed: DataFrame, windowMinutes: Int = 10): DataFrame = {
+  def metricRows(parsed: DataFrame, windowMinutes: Int = 10,
+      keyCols: Seq[String] = Seq("conv_id")): DataFrame = {
     def ms(t: Int, key: Column, v: Column): Column = struct(
       lit(t).as("metric_type"), key.cast("string").as("key_value"), v.cast("long").as("inc"))
     val is2xx = col("status").startsWith("2")
@@ -93,15 +94,15 @@ object Aggregates {
     // and measurably slows the stage down.
     parsed
       .select(
-        col("conv_id"),
-        ParseStage.timeWindowCol(col("log_ts"), col("tz_offset_sec"), windowMinutes).as("time_window"),
-        explode(entries).as("m"))
+        keyCols.map(col) ++ Seq(
+          ParseStage.timeWindowCol(col("log_ts"), col("tz_offset_sec"), windowMinutes).as("time_window"),
+          explode(entries).as("m")): _*)
       .filter(col("m").isNotNull)
       .groupBy(
-        col("conv_id"),
-        col("m.metric_type").as("metric_type"),
-        col("m.key_value").as("key_value"),
-        col("time_window"))
+        keyCols.map(col) ++ Seq(
+          col("m.metric_type").as("metric_type"),
+          col("m.key_value").as("key_value"),
+          col("time_window")): _*)
       .agg(sum(col("m.inc")).as("metric_value"))
   }
 

@@ -8,9 +8,10 @@ import org.apache.spark.sql.functions._
   * MinHash+LSH, SimHash, n-gram Jaccard, embedding-cosine near-dup.
   *
   * Scale notes (the 100 TB story):
-  * - exact dedup groups on (length, xxhash64, text): the hash front-loads the
-  *   shuffle comparison so the sorter compares 8-byte keys, with full-text
-  *   equality still deciding groups (no collision risk).
+  * - exact dedup shuffles (h1, h2, len, doc_id) only — two independent
+  *   64-bit hashes plus length as the group key, the text never leaves the
+  *   scan stage (collision odds in SCALE.md; text-equality form kept as the
+  *   small-scale oracle).
   * - MinHash/SimHash signatures are computed in ONE pass per document (a
   *   struct-returning UDF), then candidates come from an equi-join on LSH
   *   band keys — never a cross join. The band join is a plain shuffled hash
@@ -20,9 +21,38 @@ object Dedup {
 
   // ---------------------------------------------------------------- exact
   /** Exact dedup: flag every doc whose text already appeared at a smaller
-    * doc_id. Window over (hash-prefixed) text groups.
+    * doc_id.
+    *
+    * SCALE form (VERDICT r4 item 3): the shuffle key is (h1, h2, len) — two
+    * INDEPENDENT 64-bit xxhashes (h2 prepends a literal salt, which chains
+    * the seed: h2 = XXH64(text, XXH64(salt, 42)), a different effective seed
+    * than h1's 42) plus the character length — projected BEFORE the window,
+    * so the exchange carries ~28 bytes/row and never the document text (the
+    * pre-r5 window partitioned on (hash, text) and shuffled the corpus).
+    * Dup flags can differ from true text equality only if two DISTINCT
+    * texts collide on BOTH hashes and length: P ≈ n²/2^129 over n docs —
+    * ~10⁻¹⁵ at 10¹² docs (SCALE.md). The text-partitioned window stays as
+    * the small-scale oracle (exactFlagsTextEq), equality pinned on the
+    * synth corpus in TrainingOpsSpec.
     */
   def exactFlags(docs: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("h1"), col("h2"), col("len"))
+    docs
+      .select(
+        col("doc_id"),
+        xxhash64(col("text")).as("h1"),
+        xxhash64(lit(0x5BA7C1E7L), col("text")).as("h2"),
+        length(col("text")).as("len"))
+      .select(
+        col("doc_id"),
+        (col("doc_id") > min(col("doc_id")).over(w)).cast("int").as("is_dup"))
+  }
+
+  /** Oracle form: groups by full text equality (collision-free by
+    * construction, but ships the corpus through the exchange — small-scale
+    * verification only).
+    */
+  def exactFlagsTextEq(docs: DataFrame): DataFrame = {
     val w = Window.partitionBy(xxhash64(col("text")), col("text"))
     docs.select(
       col("doc_id"),

@@ -65,16 +65,64 @@ object Enrich {
 
   /** role + tool enrichment (the north-star lookup dims) — both dims from
     * one aggregation pass, then two broadcast joins.
+    *
+    * SELF-CONTAINED form: derives the dims from the fact input itself, which
+    * costs a second scan of `parsed` (one for the dim aggregation, one for
+    * the fact side — Spark does not share subtrees across the collect
+    * boundary). Fine for one-shot jobs; a standing deployment materializes
+    * the dims once (sources.DimTables) and uses withRoleToolIdsFrom, which
+    * scans the fact input exactly once (PlanSpec-pinned).
     */
   def withRoleToolIds(parsed: DataFrame): DataFrame = {
     val dims = firstSightDims(parsed, Seq("role", "tool"))
+    withRoleToolIdsFrom(parsed,
+      dimDf(parsed, dims("role"), "role", "role_id"),
+      dimDf(parsed, dims("tool"), "tool", "tool_id"))
+  }
+
+  /** Enrichment against PRE-MATERIALIZED dims (the production form,
+    * VERDICT r4 item 1): the fact input is scanned exactly once; the dims
+    * are tiny (key, id) tables broadcast to every task.
+    */
+  def withRoleToolIdsFrom(parsed: DataFrame, roleDim: DataFrame, toolDim: DataFrame): DataFrame =
     parsed
-      .join(broadcast(dimDf(parsed, dims("role"), "role", "role_id")), Seq("role"), "left")
-      .join(broadcast(dimDf(parsed, dims("tool"), "tool", "tool_id")), Seq("tool"), "left")
+      .join(broadcast(roleDim), Seq("role"), "left")
+      .join(broadcast(toolDim), Seq("tool"), "left")
+
+  /** J2 domain enrichment against a pre-materialized domain dim — single
+    * fact scan, like withRoleToolIdsFrom.
+    */
+  def withDomainIdFrom(parsed: DataFrame, domainDim: DataFrame,
+      defaultDomain: String = graft.sources.TranscriptGen.defaultDomain): DataFrame =
+    parsed
+      .withColumn("domain_name", coalesce(nullif(col("domain"), lit("")), lit(defaultDomain)))
+      .join(broadcast(domainDim), Seq("domain_name"), "left")
+
+  /** Grow-on-first-sight, batch-at-a-time (GetDomainId semantics,
+    * db/mysqldb.go:91-121: look up, insert on first sight): append the
+    * batch's unseen keys to an existing dim with surrogate ids continuing
+    * after the current max, ordered by first appearance WITHIN the batch.
+    * One scan of the batch (broadcast anti-join feeding the same
+    * min-first-key aggregate); the dim itself is tiny and collected.
+    * Growing over consecutive batches reproduces the full-table first-sight
+    * ids exactly (EnrichSpec).
+    */
+  def grown(dim: DataFrame, batch: DataFrame, keyCol: String, idCol: String): DataFrame = {
+    val spark = dim.sparkSession
+    import spark.implicits._
+    val existing = dim.select(col(keyCol).cast("string"), col(idCol).cast("int"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    val maxId = if (existing.isEmpty) 0 else existing.map(_._2).max
+    val unseen = batch.join(broadcast(dim.select(col(keyCol))), Seq(keyCol), "left_anti")
+    val newPairs = firstSightDims(unseen, Seq(keyCol))(keyCol)
+      .map { case (k, i) => (k, maxId + i) }
+    (existing ++ newPairs).toDF(keyCol, idCol)
   }
 
   /** J2 + J1: per-row domain = parsed vhost domain if non-empty else the
     * configured default (main.go:666-669), then surrogate id via broadcast.
+    * Self-contained (second scan) like withRoleToolIds; standing deployments
+    * use withDomainIdFrom + DimTables.
     */
   def withDomainId(parsed: DataFrame, defaultDomain: String = graft.sources.TranscriptGen.defaultDomain): DataFrame = {
     val withName = parsed.withColumn(

@@ -338,9 +338,9 @@ object Multimodal {
   // ----------------------------------------------------------- transforms
   /** REAL nearest-neighbor resize of a BMP payload: decodes the actual
     * 24bpp pixel rows (4-byte padded, stored bottom-up), samples them to the
-    * target dimensions, and re-encodes a valid BMP. PNG is excluded from the
-    * resize path — its pixel stream would need a scanline codec, which is
-    * the one honestly-stubbed piece (see object scaladoc).
+    * target dimensions, and re-encodes a valid BMP. (PNG takes the same
+    * resize shape through its own inflate/unfilter/refilter codec —
+    * resizePng.)
     */
   private[operators] def resizeBmp(bytes: Array[Byte], tw: Int, th: Int): Array[Byte] = {
     val w = leInt(bytes, 18)
@@ -407,6 +407,11 @@ object Multimodal {
         off += 8 + size + (size & 1)
       }
     }
+    // corrupt fmt: channels <= 0 with a nonzero blockAlign would send a
+    // zero-channel spec into encodeWav, whose blockAlign = channels*2 = 0
+    // divides payload.length — the one arithmetic fault a crafted header
+    // could still raise here (ADVICE r4). Null = caller drops the row.
+    if (channels <= 0) return null
     val frames = if (blockAlign > 0) dataLen / blockAlign else 0
     val kept = (frames + k - 1) / k
     val sampled = new Array[Byte](kept * blockAlign)
@@ -437,7 +442,7 @@ object Multimodal {
         decodeMedia(id, bytes).media_type match {
           case "bmp" => Option(resizeBmp(bytes, targetW, targetH)).map(decodeMedia(id, _))
           case "png" => Option(resizePng(bytes, targetW, targetH)).map(decodeMedia(id, _))
-          case "wav" => Some(decodeMedia(id, sampleWavFrames(bytes, frameStride)))
+          case "wav" => Option(sampleWavFrames(bytes, frameStride)).map(decodeMedia(id, _))
           case _ => None
         }
       })

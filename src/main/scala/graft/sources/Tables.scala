@@ -92,7 +92,40 @@ object Tables {
     // must NOT be shuffled just to decode it.
     val df = spark.read.parquet(path)
     val parallelism = spark.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= parallelism) df
+    if (estimatedScanSplits(spark, path) >= parallelism) df
     else df.repartition(parallelism, col("doc_id"))
+  }
+
+  /** Scan-split count for a parquet dir from the file listing alone —
+    * the same size/open-cost bin-packing FilePartition applies, WITHOUT
+    * materializing df.rdd just to read getNumPartitions (VERDICT r4
+    * housekeeping #4: that conversion builds the whole deserialization
+    * RDD lineage driver-side for a number the listing already determines).
+    */
+  private def estimatedScanSplits(spark: SparkSession, path: String): Int = {
+    val conf = spark.sessionState.conf
+    val openCost = conf.filesOpenCostInBytes
+    val fsPath = new org.apache.hadoop.fs.Path(path)
+    val fs = fsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sizes = fs.listStatus(fsPath)
+      .filter(f => f.isFile && f.getPath.getName.startsWith("part-"))
+      .map(_.getLen)
+    if (sizes.isEmpty) return 0
+    val totalBytes = sizes.map(_ + openCost).sum
+    val maxSplit = math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / math.max(1, spark.sparkContext.defaultParallelism)))
+    // parquet splits at maxSplit boundaries, then first-fit packs size-desc
+    val splitFiles = sizes.flatMap { len =>
+      if (len == 0) Seq(openCost)
+      else (0L until len by maxSplit).map(o => math.min(maxSplit, len - o) + openCost)
+    }.sortBy(-_)
+    var parts = 0
+    var cur = 0L
+    splitFiles.foreach { s =>
+      if (cur > 0 && cur + s > maxSplit) { parts += 1; cur = 0L }
+      cur += s
+    }
+    if (cur > 0) parts += 1
+    parts
   }
 }

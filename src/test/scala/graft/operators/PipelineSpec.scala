@@ -156,6 +156,42 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     assert(domains.filter(col("domain_name") === TranscriptGen.defaultDomain).count() > 0)
   }
 
+  test("grow-on-first-sight over consecutive batches equals full-table first-sight ids") {
+    import spark.implicits._
+    // `path` is the highest-cardinality dim here, so both batches introduce
+    // genuinely new keys (a dim whose keys all appear in batch 1 would not
+    // exercise the id-continuation)
+    val full = Enrich.firstSightDims(parsedDf, Seq("path"))("path").toMap
+    val convs = parsedDf.select("conv_id").distinct().collect().map(_.getString(0)).sorted
+    // cut VERY early (first 8 turns of the first conversation): the path
+    // pool has only ~22 distinct values, so any larger batch 1 would already
+    // contain every key and batch 2 would never exercise the id continuation.
+    // The split respects global (conv_id, turn_idx) arrival order, which is
+    // what batch-at-a-time growth assumes (GetDomainId processes in order).
+    val inBatch1 = col("conv_id") === convs.head && col("turn_idx") < 8
+    val batch1 = parsedDf.filter(inBatch1)
+    val batch2 = parsedDf.filter(!inBatch1)
+    val empty = Seq.empty[(String, Int)].toDF("path", "path_id")
+    val g1 = Enrich.grown(empty, batch1, "path", "path_id")
+    val g2 = Enrich.grown(g1, batch2, "path", "path_id")
+    val grownMap = g2.collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(grownMap == full)
+    // batch 2 must actually have added keys for this test to mean anything
+    assert(g1.count() < g2.count())
+  }
+
+  test("materialized dim tables reproduce the self-contained first-sight enrichment") {
+    val sf = "/root/testdata/sf0.001"
+    val p = ParseStage.parse(Tables.transcripts(spark, sf))
+    def groups(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("role", "role_id", "tool", "tool_id").count()
+        .collect().map(_.toSeq.toVector).toSet
+    val inline = groups(Enrich.withRoleToolIds(p))
+    val fromTables = groups(Enrich.withRoleToolIdsFrom(p,
+      graft.sources.DimTables.role(spark, sf), graft.sources.DimTables.tool(spark, sf)))
+    assert(inline == fromTables)
+  }
+
   test("sticky-detection quirk mode drops exactly one line per conversation") {
     val quirkParsed = RefOracle.parseAll(turns, quirk = true)
     val convs = turns.map(_.conv_id).distinct.size
