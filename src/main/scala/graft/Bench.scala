@@ -184,6 +184,7 @@ object Bench {
       "ann_topk" -> SparkEntry.queries("ann_topk"),
       "ann_lsh" -> SparkEntry.queries("ann_lsh"),
       "ann_ivf" -> SparkEntry.queries("ann_ivf"),
+      "ann_ivf_preassigned" -> SparkEntry.queries("ann_ivf_preassigned"),
       "text_langid" -> SparkEntry.queries("text_langid"),
       "text_quality" -> SparkEntry.queries("text_quality"),
       "text_tokens" -> SparkEntry.queries("text_tokens"),

@@ -343,6 +343,24 @@ object SparkEntry {
       Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 8), 10).select("query_id", "neighbor_id")
     }),
 
+    // IVF against the PRE-BUILT index (the production form, like
+    // dedup_incr_prebanded): centroids + per-vector bucket assignment come
+    // from the materialized index tables — the corpus is never re-trained
+    // or re-assigned at query time. Same oracle as ann_ivf: the assignment
+    // the index stores is bit-identical to what the oracle re-derives from
+    // the pinned centroids.
+    "ann_ivf_preassigned" -> ((s, d) => {
+      graft.sources.SigTables.ensure(s, d)
+      val centRows = s.read.parquet(graft.sources.SigTables.ivfCentroidsPath(d))
+        .orderBy("cent_id").collect()
+      val cents = centRows.map(_.getSeq[Float](1).toArray)
+      val assigned = s.read.parquet(graft.sources.SigTables.ivfAssignedPath(d))
+        .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cent"))
+      val emb = t(s, d)("embeddings")
+      Similarity.ivfTopKPreassigned(assigned, cents, emb.filter(col("vec_id") < 8), 10)
+        .select("query_id", "neighbor_id")
+    }),
+
     // ------------------------------------------------------- text analysis
     "text_langid" -> ((s, d) => TextAnalysis.langId(t(s, d)("documents"))),
 
@@ -875,7 +893,10 @@ object SparkEntry {
     // bounded-lateness generated data (divergence pinned in PipelineAppSpec)
     // r3_metrics_accumulate shares r3's SQL: the metric sums are row-additive,
     // so two accumulated half-corpus runs must equal the full-corpus table
+    // ann_ivf_preassigned shares ann_ivf's SQL: the stored index assignment
+    // is bit-identical to the oracle's re-derivation from pinned centroids
     base + ("a8_arrival_metrics" -> base("a6_metric_rows")) +
-      ("r3_metrics_accumulate" -> base("r3_metrics_sink"))
+      ("r3_metrics_accumulate" -> base("r3_metrics_sink")) +
+      ("ann_ivf_preassigned" -> base("ann_ivf"))
   }
 }

@@ -40,6 +40,7 @@ object SigTables {
   def minhashBandsPath(sfDir: String): String = s"${root(sfDir)}/minhash_bands"
   def embSigsPath(sfDir: String): String = s"${root(sfDir)}/emb_sigs"
   def ivfCentroidsPath(sfDir: String): String = s"${root(sfDir)}/ivf_centroids"
+  def ivfAssignedPath(sfDir: String): String = s"${root(sfDir)}/ivf_assigned"
 
   /** doc_id, simhash, fingerprint, n_winnow, shingles (distinct, sorted),
     * plus the media decode fields pinned by ROUND-TRIPPING each document
@@ -105,6 +106,19 @@ object SigTables {
       .select(col("cent_id"), col("embedding").cast("array<float>").as("embedding"))
   }
 
+  /** vec_id, embedding, cent — the IVF INDEX body: every corpus vector
+    * stored with its coarse-bucket assignment (the production layout
+    * cluster-partitions vectors by bucket; here one small parquet).
+    * Assignment via the same UDF arithmetic the engine uses, from the same
+    * deterministic centroids the oracle pins — maintained incrementally on
+    * a real deployment (append each ingest batch's assigned rows).
+    */
+  def ivfAssigned(emb: DataFrame): DataFrame = {
+    val cents = Similarity.kmeansCentroids(emb)
+    emb.select(col("vec_id"), col("embedding"),
+      Similarity.nearestCentProbe(cents, col("embedding")).as("cent"))
+  }
+
   /** Synthesize-on-first-use (idempotent, deterministic). */
   def ensure(spark: SparkSession, sfDir: String): Unit = {
     def write(path: String, df: => DataFrame): Unit =
@@ -114,5 +128,6 @@ object SigTables {
     write(minhashBandsPath(sfDir), minhashBands(Tables.read(spark, sfDir, "documents")))
     write(embSigsPath(sfDir), embSigs(Tables.read(spark, sfDir, "embeddings")))
     write(ivfCentroidsPath(sfDir), ivfCentroids(spark, Tables.read(spark, sfDir, "embeddings")))
+    write(ivfAssignedPath(sfDir), ivfAssigned(Tables.read(spark, sfDir, "embeddings")))
   }
 }

@@ -222,6 +222,17 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     } finally spark.conf.set(key, prev)
   }
 
+  test("preassigned ivf (stored index) returns exactly the self-contained ivf top-k") {
+    val queries = emb.filter(col("vec_id") < 8)
+    val cents = Similarity.kmeansCentroids(emb)
+    val assigned = graft.sources.SigTables.ivfAssigned(emb)
+      .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cent"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs(Similarity.ivfTopKPreassigned(assigned, cents, queries, 10)) ==
+      pairs(Similarity.ivfTopK(emb, queries, 10)))
+  }
+
   test("embedding near-dup LSH path is a subset of brute force with high recall at safe thresholds") {
     val brute = Dedup.embeddingNearDups(emb, 0.4).select("a_id", "b_id").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
