@@ -172,11 +172,39 @@ object Route {
     */
   def fanOutWithLineage(routed: DataFrame, outDir: String, partitions: Int): String = {
     val manifestPath = Paths.get(outDir, "_lineage", "manifest.json")
+    // ZERO-SCAN resume tier (r5): fingerprint the input's FILE METADATA
+    // (sorted paths + lengths — a listing, no data read; the Iceberg
+    // analogue is comparing snapshot ids). A rerun over the byte-identical
+    // input skips without launching any job; input rewritten under new file
+    // names falls through to the content-checksum tier below, which
+    // preserves the original contract (identical CONTENT still skips the
+    // write at the cost of one stats scan).
+    val inputFiles = routed.inputFiles.sorted
+    val metaFp = {
+      val hconf = routed.sparkSession.sparkContext.hadoopConfiguration
+      var h = 0xcbf29ce484222325L
+      def mixStr(s: String): Unit = { var i = 0; while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 } }
+      inputFiles.foreach { f =>
+        val p = new org.apache.hadoop.fs.Path(f)
+        mixStr(f)
+        val len = try p.getFileSystem(hconf).getFileStatus(p).getLen catch { case _: java.io.IOException => -1L }
+        h ^= len; h *= 0x100000001b3L
+      }
+      h
+    }
+    // in-memory inputs (no backing files) all hash alike — the metadata tier
+    // is only meaningful for file-backed plans; others go straight to the
+    // content tier
+    if (inputFiles.nonEmpty && Files.exists(manifestPath)) {
+      val existing = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
+      if (existing.contains(s""""input_files":$metaFp,""")) return existing // resume: no scan at all
+    }
     // ONE stats pass: per-(sink, bucket) rows/checksum/min/max, collected as
     // a bounded (sinks × day-buckets) result. The global input fingerprint
     // folds out of the same rows — bit_xor is associative, so the xor of the
     // per-group checksums IS the whole-input checksum. Total input scans: 2
-    // (this aggregate + the write), down from 3.
+    // (this aggregate + the write), down from 3 — and 0 on a same-files
+    // rerun via the metadata tier above.
     val groups = routed
       .groupBy(col("sink"), dayBucket.as("bucket"))
       .agg(
@@ -191,7 +219,18 @@ object Route {
 
     if (Files.exists(manifestPath)) {
       val existing = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)
-      if (existing.contains(s""""input":$fpJson""")) return existing // resume: already done
+      if (existing.contains(s""""input":$fpJson""")) {
+        // same CONTENT under different file metadata: the written data is
+        // valid — skip the write and refresh the metadata fingerprint so
+        // the next rerun takes the zero-scan tier
+        val refreshed =
+          if (existing.contains("\"input_files\":"))
+            existing.replaceFirst("\"input_files\":-?\\d+,", s""""input_files":$metaFp,""")
+          else existing.replaceFirst("\\{", s"""{"input_files":$metaFp,""")
+        Files.write(manifestPath, refreshed.getBytes(StandardCharsets.UTF_8),
+          StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)
+        return refreshed
+      }
     }
 
     salted(routed.withColumn("bucket", dayBucket), partitions)
@@ -203,7 +242,7 @@ object Route {
       .map(r => s"""{"sink":"${r.getString(0)}","bucket":"${r.getString(1)}","rows":${r.getLong(2)},"checksum":${r.getLong(3)},"min_turn":${r.getInt(4)},"max_turn":${r.getInt(5)}}""")
       .sorted
       .mkString("[", ",", "]")
-    val manifest = s"""{"input":$fpJson,"partitions":$perPartition}"""
+    val manifest = s"""{"input_files":$metaFp,"input":$fpJson,"partitions":$perPartition}"""
     Files.createDirectories(manifestPath.getParent)
     Files.write(manifestPath, manifest.getBytes(StandardCharsets.UTF_8),
       StandardOpenOption.CREATE, StandardOpenOption.TRUNCATE_EXISTING)

@@ -220,10 +220,20 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
     spark.listenerManager.register(listener)
     try {
       val dir = java.nio.file.Files.createTempDirectory("graft-lineage2").toString
-      Route.fanOutWithLineage(Route.withSink(parsedDf), dir, partitions = 8)
+      // FILE-BACKED input: the zero-scan rerun tier keys on input file
+      // metadata, which in-memory datasets don't have
+      val fileParsed = ParseStage.parse(
+        graft.sources.Tables.transcripts(spark, "/root/testdata/sf0.001"))
+      Route.fanOutWithLineage(Route.withSink(fileParsed), dir, partitions = 8)
       Thread.sleep(500) // listener events are posted asynchronously
       // one collect (stats+fingerprint folded together) + one write
       assert(executed.get <= 2, s"expected <=2 executions over the input, got ${executed.get}")
+      // rerun over byte-identical input: the metadata-fingerprint tier skips
+      // WITHOUT any Spark execution (r5 — the Iceberg snapshot-id analogue)
+      executed.set(0)
+      Route.fanOutWithLineage(Route.withSink(fileParsed), dir, partitions = 8)
+      Thread.sleep(500)
+      assert(executed.get == 0, s"same-files rerun must be zero-scan, got ${executed.get}")
     } finally spark.listenerManager.unregister(listener)
   }
 }
