@@ -122,12 +122,9 @@ object ScaleSweep {
   private def sigTables(spark: SparkSession, n: Long): (DataFrame, DataFrame) = {
     import spark.implicits._
     ensure(bandsPath(n)) {
-      docs(spark, n).select(col("doc_id"), col("text")).as[(Long, String)]
-        .flatMap { case (id, text) =>
-          Dedup.bandKeys(Dedup.minhashSig(text, 32), 8).zipWithIndex
-            .map { case (key, b) => (id, b, key) }
-        }
-        .toDF("doc_id", "band", "band_key")
+      // the ONE production band-table builder — measuring a private copy
+      // here could silently drift from what SigTables pins (code-review r5)
+      graft.sources.SigTables.minhashBands(docs(spark, n))
         .write.mode(SaveMode.Overwrite).parquet(bandsPath(n))
     }
     ensure(shinglesPath(n)) {

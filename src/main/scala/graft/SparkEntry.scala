@@ -180,6 +180,12 @@ object SparkEntry {
     // on every (conv, metric, key, window) group, so a union-instead-of-sum
     // bug diverges from the oracle, which is simply the FULL corpus metric
     // table (row-additive sums: accumulate(evens)+accumulate(odds) ≡ full).
+    // Truncation subtlety: the merge groups on the 100-char-TRUNCATED key
+    // (the reference's PRIMARY KEY, so colliding prefixes upsert-SUM in
+    // MySQL — the merge is the faithful form) while r3_metrics_sink emits
+    // truncated-but-ungrouped rows; the shared oracle is exact because no
+    // generated metric key reaches 100 chars (keys are statuses/methods/
+    // families/paths/referers — the >100-char ua_raw is not a metric key).
     "r3_metrics_accumulate" -> ((s, d) => {
       val out = s"${Tables.dataRoot}/tmp/metrics_accumulate/${Tables.sfName(d)}"
       val fs = new org.apache.hadoop.fs.Path(out)
@@ -351,9 +357,7 @@ object SparkEntry {
     // the pinned centroids.
     "ann_ivf_preassigned" -> ((s, d) => {
       graft.sources.SigTables.ensure(s, d)
-      val centRows = s.read.parquet(graft.sources.SigTables.ivfCentroidsPath(d))
-        .orderBy("cent_id").collect()
-      val cents = centRows.map(_.getSeq[Float](1).toArray)
+      val cents = graft.sources.SigTables.pinnedCentroids(s, d)
       val assigned = s.read.parquet(graft.sources.SigTables.ivfAssignedPath(d))
         .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cent"))
       val emb = t(s, d)("embeddings")

@@ -182,13 +182,24 @@ object Route {
     val inputFiles = routed.inputFiles.sorted
     val metaFp = {
       val hconf = routed.sparkSession.sparkContext.hadoopConfiguration
-      var h = 0xcbf29ce484222325L
-      def mixStr(s: String): Unit = { var i = 0; while (i < s.length) { h ^= s.charAt(i).toLong; h *= 0x100000001b3L; i += 1 } }
+      // covers the PIPELINE as well as the input: the routed plan's
+      // canonicalized semantic hash and the partitions argument are mixed
+      // in, so a changed routing/projection or layout over unchanged files
+      // re-runs instead of serving stale output (code-review r5); file
+      // modification time catches an in-place same-length rewrite
+      var h = 0xcbf29ce484222325L ^ routed.queryExecution.analyzed.semanticHash().toLong
+      h *= 0x100000001b3L
+      h ^= partitions.toLong; h *= 0x100000001b3L
       inputFiles.foreach { f =>
         val p = new org.apache.hadoop.fs.Path(f)
-        mixStr(f)
-        val len = try p.getFileSystem(hconf).getFileStatus(p).getLen catch { case _: java.io.IOException => -1L }
+        h ^= graft.operators.Dedup.fnv1a(f); h *= 0x100000001b3L
+        val (len, mtime) =
+          try {
+            val st = p.getFileSystem(hconf).getFileStatus(p)
+            (st.getLen, st.getModificationTime)
+          } catch { case _: java.io.IOException => (-1L, -1L) }
         h ^= len; h *= 0x100000001b3L
+        h ^= mtime; h *= 0x100000001b3L
       }
       h
     }

@@ -115,21 +115,30 @@ object Similarity {
     * the bucket key — same results, no broadcast OOM. Callers can force
     * either path via the explicit parameter.
     */
+  // memo keys are the CANONICALIZED PLAN OBJECT (structural equality), not
+  // its 32-bit semanticHash: an Int collision between two different plans
+  // would silently serve one plan's verdict/centroids for the other
+  // (code-review r5) — for centroids that is a result-correctness hole, so
+  // both memos key on the plan itself; bounded by clear-on-overflow.
+  private val memoCap = 256
   private val broadcastDecisionMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Long), java.lang.Boolean]()
+    new java.util.concurrent.ConcurrentHashMap[(Any, Long), java.lang.Boolean]()
 
   private def shouldBroadcastQueries(queries: DataFrame): Boolean = {
     val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return false
     if (queries.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold) return true
-    val memoKey = (queries.queryExecution.analyzed.semanticHash(), threshold)
+    if (broadcastDecisionMemo.size > memoCap) broadcastDecisionMemo.clear()
+    val memoKey = (queries.queryExecution.analyzed.canonicalized, threshold)
     broadcastDecisionMemo.computeIfAbsent(memoKey, { _ =>
       val firstVec = queries.select(col("embedding")).head(1)
       if (firstVec.isEmpty) java.lang.Boolean.TRUE
       else {
         // id + array overhead + floats, padded for hash-relation overhead
         val perRow = 64L + 4L * firstVec(0).getSeq[Float](0).length
-        val cap = threshold / perRow + 1
+        // cap = the largest row count that still fits the threshold; the
+        // LIMIT asks for cap+1 rows so exceeding the cap is detectable
+        val cap = threshold / perRow
         val capInt = math.min(cap + 1, Int.MaxValue.toLong).toInt
         java.lang.Boolean.valueOf(queries.limit(capInt).count() <= cap)
       }
@@ -191,7 +200,7 @@ object Similarity {
     * per-row (assignment, probing, rescoring) is distributed.
     */
   private val centroidMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int, Int), Array[Array[Float]]]()
+    new java.util.concurrent.ConcurrentHashMap[(Any, Int, Int, Int), Array[Array[Float]]]()
 
   def kmeansCentroids(emb: DataFrame, k: Int = 16, iters: Int = 4,
       sampleLimit: Int = 100000): Array[Array[Float]] = {
@@ -201,8 +210,11 @@ object Similarity {
     // dominate) vs ~1.5 s steady-state with the memo. Deterministic
     // training (stable vec_id order, pure scalar arithmetic) makes the memo
     // value-transparent: a recompute would return bit-identical centroids.
+    // Keyed on the canonicalized plan OBJECT, not its Int hash — see the
+    // memo note above shouldBroadcastQueries.
+    if (centroidMemo.size > memoCap) centroidMemo.clear()
     centroidMemo.computeIfAbsent(
-      (emb.queryExecution.analyzed.semanticHash(), k, iters, sampleLimit),
+      (emb.queryExecution.analyzed.canonicalized, k, iters, sampleLimit),
       _ => trainCentroids(emb, k, iters, sampleLimit))
   }
 
@@ -265,6 +277,12 @@ object Similarity {
     * oracle's tie rule.
     */
   private def nearestCentUdf(cents: Array[Array[Float]]) = udf { (v: Seq[Float]) =>
+    // null-safe like the expression form it replaced (a NULL embedding
+    // yields a null bucket → the row drops out of the equi-join instead of
+    // failing the task); length iterates min(vec, centroid) dims exactly
+    // like CosineSimilarity's min(numElements) rule
+    if (v == null) null.asInstanceOf[java.lang.Integer]
+    else {
     val arr = v.toArray
     var best = 0
     var bs = Double.NegativeInfinity
@@ -272,7 +290,8 @@ object Similarity {
     while (c < cents.length) {
       val cv = cents(c)
       var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
-      while (i < arr.length) {
+      val n = math.min(arr.length, cv.length)
+      while (i < n) {
         // FLOAT multiplies widened into double accumulators — the exact
         // arithmetic CosineSimilarity.nullSafeEval/doGenCode performs
         // (`dot += xi * yi` on float locals), so assignments are
@@ -289,7 +308,8 @@ object Similarity {
       if (s > bs) { bs = s; best = c }
       c += 1
     }
-    best
+    java.lang.Integer.valueOf(best)
+    }
   }
 
 

@@ -113,11 +113,19 @@ object SigTables {
     * deterministic centroids the oracle pins — maintained incrementally on
     * a real deployment (append each ingest batch's assigned rows).
     */
-  def ivfAssigned(emb: DataFrame): DataFrame = {
-    val cents = Similarity.kmeansCentroids(emb)
+  def ivfAssigned(emb: DataFrame, cents: Array[Array[Float]]): DataFrame =
     emb.select(col("vec_id"), col("embedding"),
       Similarity.nearestCentProbe(cents, col("embedding")).as("cent"))
-  }
+
+  /** the pinned centroid table read back as the Array form the assignment
+    * and probe stages take — the SINGLE source of truth for the index
+    * (code-review r5: assigning from a fresh re-train could diverge from an
+    * already-pinned centroid table; reading the pin makes index consistency
+    * structural instead of relying on cross-revision determinism)
+    */
+  def pinnedCentroids(spark: SparkSession, sfDir: String): Array[Array[Float]] =
+    spark.read.parquet(ivfCentroidsPath(sfDir))
+      .orderBy("cent_id").collect().map(_.getSeq[Float](1).toArray)
 
   /** Synthesize-on-first-use (idempotent, deterministic). */
   def ensure(spark: SparkSession, sfDir: String): Unit = {
@@ -128,6 +136,9 @@ object SigTables {
     write(minhashBandsPath(sfDir), minhashBands(Tables.read(spark, sfDir, "documents")))
     write(embSigsPath(sfDir), embSigs(Tables.read(spark, sfDir, "embeddings")))
     write(ivfCentroidsPath(sfDir), ivfCentroids(spark, Tables.read(spark, sfDir, "embeddings")))
-    write(ivfAssignedPath(sfDir), ivfAssigned(Tables.read(spark, sfDir, "embeddings")))
+    // assignment FROM THE PINNED TABLE just written/already present — never
+    // from a fresh re-train that could diverge from an older pin
+    write(ivfAssignedPath(sfDir),
+      ivfAssigned(Tables.read(spark, sfDir, "embeddings"), pinnedCentroids(spark, sfDir)))
   }
 }

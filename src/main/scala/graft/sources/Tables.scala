@@ -112,18 +112,24 @@ object Tables {
       .map(_.getLen)
     if (sizes.isEmpty) return 0
     val totalBytes = sizes.map(_ + openCost).sum
-    val maxSplit = math.min(conf.filesMaxPartitionBytes,
-      math.max(openCost, totalBytes / math.max(1, spark.sparkContext.defaultParallelism)))
-    // parquet splits at maxSplit boundaries, then first-fit packs size-desc
+    // max(1, …) also guards openCostInBytes=0 on a tiny table, where the
+    // formula would otherwise yield maxSplit=0 and the split-range step
+    // below would throw (code-review r5)
+    val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
+      math.max(openCost, totalBytes / math.max(1, spark.sparkContext.defaultParallelism))))
+    // mirror FilePartition.getFilePartitions exactly: parquet splits at
+    // maxSplit boundaries, sorted size-desc, and a partition closes when
+    // currentSize + splitLen (WITHOUT open cost) would exceed maxSplit;
+    // open cost is then added to currentSize per accepted split
     val splitFiles = sizes.flatMap { len =>
-      if (len == 0) Seq(openCost)
-      else (0L until len by maxSplit).map(o => math.min(maxSplit, len - o) + openCost)
+      if (len == 0) Seq(0L)
+      else (0L until len by maxSplit).map(o => math.min(maxSplit, len - o))
     }.sortBy(-_)
     var parts = 0
     var cur = 0L
     splitFiles.foreach { s =>
       if (cur > 0 && cur + s > maxSplit) { parts += 1; cur = 0L }
-      cur += s
+      cur += s + openCost
     }
     if (cur > 0) parts += 1
     parts

@@ -225,7 +225,7 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
   test("preassigned ivf (stored index) returns exactly the self-contained ivf top-k") {
     val queries = emb.filter(col("vec_id") < 8)
     val cents = Similarity.kmeansCentroids(emb)
-    val assigned = graft.sources.SigTables.ivfAssigned(emb)
+    val assigned = graft.sources.SigTables.ivfAssigned(emb, cents)
       .select(col("vec_id").as("neighbor_id"), col("embedding").as("c_emb"), col("cent"))
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.select("query_id", "neighbor_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
