@@ -234,6 +234,13 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       Route.fanOutWithLineage(Route.withSink(fileParsed), dir, partitions = 8)
       Thread.sleep(500)
       assert(executed.get == 0, s"same-files rerun must be zero-scan, got ${executed.get}")
+      // a CHANGED PIPELINE over the same input must NOT take the zero-scan
+      // tier (code-review r5: the metadata fingerprint covers the plan and
+      // the partitions argument, not just the input files)
+      executed.set(0)
+      Route.fanOutWithLineage(Route.withSink(fileParsed), dir, partitions = 4)
+      Thread.sleep(500)
+      assert(executed.get > 0, "changed partitions must re-run, not serve stale output")
     } finally spark.listenerManager.unregister(listener)
   }
 }
