@@ -196,12 +196,18 @@ object ScaleSweep {
       val (tIncr, nIncr) = timeMin(3)(
         Dedup.incrementalNearDupsPrebanded(corpusBands, corpusShingles, batch, 0.5).count())
 
+      // cluster formation over the full near-dup pair set: label propagation
+      // + pointer jumping rounds — the op that APPLIES a dedup at scale
+      val (tClusters, nDocs) = timeMin(3)(
+        Dedup.clusterMap(d, Dedup.minhashNearDups(d, 0.5)).count())
+
       println(f"[sweep] docs n=$n minhash ${tMinhash}%.2f s ($nPairs pairs, recall $recall%.4f " +
-        f"of $nTrue planted) incr_prebanded ${tIncr}%.2f s ($nIncr pairs)")
+        f"of $nTrue planted) incr_prebanded ${tIncr}%.2f s ($nIncr pairs) clusters ${tClusters}%.2f s")
       if (idx > 0) sb.append(",")
       sb.append(f"""{"n":$n,"minhash_sec":$tMinhash%.3f,"minhash_pairs":$nPairs,""" +
         f""""minhash_recall":$recall%.4f,"planted_true":$nTrue,""" +
-        f""""incr_prebanded_sec":$tIncr%.3f,"incr_pairs":$nIncr}""")
+        f""""incr_prebanded_sec":$tIncr%.3f,"incr_pairs":$nIncr,""" +
+        f""""clusters_sec":$tClusters%.3f,"clusters_rows":$nDocs}""")
     }
 
     sb.append("],\"emb_tiers\":[")
@@ -217,14 +223,23 @@ object ScaleSweep {
       val (tBrute, _) = timeMin(3)(Similarity.bruteTopK(e, queries, 10).count())
       val (tLsh, _) = timeMin(3)(Similarity.lshTopK(e, queries, 10).count())
       val (tIvf, _) = timeMin(3)(Similarity.ivfTopK(e, queries, 10).count())
+      // embedding near-dup: all-pairs LSH bucket join over the whole corpus.
+      // planes grows with the corpus (bucket target ~64 vectors — the
+      // standard hyperplane-LSH sizing, same spirit as nlist ≈ √N for IVF):
+      // the default planes=5 (32 buckets/table) fits the small registered
+      // corpora only; at 200k vectors it would pack ~6k vectors per bucket
+      // and the candidate pair join would explode quadratically
+      val planes = math.max(5, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
+      val (tNearDup, nNearDup) = timeMin(3)(Similarity.lshNearDups(e, 0.9, planes).count())
       val lshRecall = pairs(Similarity.lshTopK(e, queries, 10)).intersect(exact).size.toDouble / exact.size
       val ivfRecall = pairs(Similarity.ivfTopK(e, queries, 10)).intersect(exact).size.toDouble / exact.size
 
       println(f"[sweep] emb n=$n brute ${tBrute}%.2f s lsh ${tLsh}%.2f s (recall $lshRecall%.3f) " +
-        f"ivf ${tIvf}%.2f s (recall $ivfRecall%.3f)")
+        f"ivf ${tIvf}%.2f s (recall $ivfRecall%.3f) near_dup ${tNearDup}%.2f s ($nNearDup pairs)")
       if (idx > 0) sb.append(",")
       sb.append(f"""{"n":$n,"brute_sec":$tBrute%.3f,"lsh_sec":$tLsh%.3f,"lsh_recall":$lshRecall%.4f,""" +
-        f""""ivf_sec":$tIvf%.3f,"ivf_recall":$ivfRecall%.4f}""")
+        f""""ivf_sec":$tIvf%.3f,"ivf_recall":$ivfRecall%.4f,""" +
+        f""""near_dup_sec":$tNearDup%.3f,"near_dup_pairs":$nNearDup}""")
     }
     sb.append("]}")
 
