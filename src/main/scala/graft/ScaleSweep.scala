@@ -230,16 +230,24 @@ object ScaleSweep {
       // corpora only; at 200k vectors it would pack ~6k vectors per bucket
       // and the candidate pair join would explode quadratically
       val planes = math.max(5, math.ceil(math.log(n / 64.0) / math.log(2)).toInt)
-      val (tNearDup, nNearDup) = timeMin(3)(Similarity.lshNearDups(e, 0.9, planes).count())
+      val heavyRuns = if (n >= 100000) 1 else 3 // a 100+ s op amortizes its own noise
+      val (tNearDup, nNearDup) = timeMin(heavyRuns)(Similarity.lshNearDups(e, 0.9, planes).count())
+      // the candidate-volume knob, measured: +4 planes × 2× tables ⇒ ~16×
+      // fewer candidate pairs per table at ~equal aggregate recall
+      val (tNearDupHi, nNearDupHi) =
+        if (n >= 100000) timeMin(1)(Similarity.lshNearDups(e, 0.9, planes + 4, 32).count())
+        else (0.0, 0L)
       val lshRecall = pairs(Similarity.lshTopK(e, queries, 10)).intersect(exact).size.toDouble / exact.size
       val ivfRecall = pairs(Similarity.ivfTopK(e, queries, 10)).intersect(exact).size.toDouble / exact.size
 
       println(f"[sweep] emb n=$n brute ${tBrute}%.2f s lsh ${tLsh}%.2f s (recall $lshRecall%.3f) " +
-        f"ivf ${tIvf}%.2f s (recall $ivfRecall%.3f) near_dup ${tNearDup}%.2f s ($nNearDup pairs)")
+        f"ivf ${tIvf}%.2f s (recall $ivfRecall%.3f) near_dup ${tNearDup}%.2f s ($nNearDup pairs) " +
+        f"near_dup_hi ${tNearDupHi}%.2f s ($nNearDupHi pairs)")
       if (idx > 0) sb.append(",")
       sb.append(f"""{"n":$n,"brute_sec":$tBrute%.3f,"lsh_sec":$tLsh%.3f,"lsh_recall":$lshRecall%.4f,""" +
         f""""ivf_sec":$tIvf%.3f,"ivf_recall":$ivfRecall%.4f,""" +
-        f""""near_dup_sec":$tNearDup%.3f,"near_dup_pairs":$nNearDup}""")
+        f""""near_dup_sec":$tNearDup%.3f,"near_dup_pairs":$nNearDup,""" +
+        f""""near_dup_hi_sec":$tNearDupHi%.3f,"near_dup_hi_pairs":$nNearDupHi}""")
     }
     sb.append("]}")
 
