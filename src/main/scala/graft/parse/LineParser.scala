@@ -71,6 +71,31 @@ object LineParser {
     new String(Array(c0, c1, c2))
   }
 
+  /** allocation-free month lookup: same ASCII case-fold + table as
+    * monthKey/monthIdx (value-equivalence pinned in LineParserSpec), returns
+    * 1-12 or -1
+    */
+  private def monthNum(s: String, from: Int): Int = {
+    val c0 = Character.toUpperCase(s.charAt(from))
+    val c1 = Character.toLowerCase(s.charAt(from + 1))
+    val c2 = Character.toLowerCase(s.charAt(from + 2))
+    ((c0 << 16) | (c1 << 8) | c2) match {
+      case 0x4A616E => 1  // Jan
+      case 0x466562 => 2  // Feb
+      case 0x4D6172 => 3  // Mar
+      case 0x417072 => 4  // Apr
+      case 0x4D6179 => 5  // May
+      case 0x4A756E => 6  // Jun
+      case 0x4A756C => 7  // Jul
+      case 0x417567 => 8  // Aug
+      case 0x536570 => 9  // Sep
+      case 0x4F6374 => 10 // Oct
+      case 0x4E6F76 => 11 // Nov
+      case 0x446563 => 12 // Dec
+      case _        => -1
+    }
+  }
+
   private def dig(c: Char): Int = if (c >= '0' && c <= '9') c - '0' else -1000
 
   /** Fast path for the exact 26-char layout (hand-rolled: ~10x faster than
@@ -101,6 +126,72 @@ object LineParser {
     }
     try Some(OffsetDateTime.parse(s, tsFormat))
     catch { case _: Exception => None }
+  }
+
+  /** "no timestamp" sentinel for the packed (epochSec, offset) encoding */
+  private[parse] val TsNone: Long = Long.MinValue
+
+  /** days since 1970-01-01 for a civil (y, m, d) — the standard
+    * days-from-civil closed form; value-identical to
+    * LocalDate.of(y,m,d).toEpochDay for every valid date (LineParserSpec
+    * sweeps all four-digit-year dates)
+    */
+  private def epochDay(y: Int, m: Int, d: Int): Long = {
+    val yy = if (m <= 2) y - 1 else y
+    val era = (if (yy >= 0) yy else yy - 399) / 400
+    val yoe = yy - era * 400
+    val doy = (153 * (if (m > 2) m - 3 else m + 9) + 2) / 5 + d - 1
+    val doe = yoe * 365L + yoe / 4 - yoe / 100 + doy
+    era * 146097L + doe - 719468L
+  }
+
+  private def daysInMonth(y: Int, m: Int): Int = m match {
+    case 2 => if (y % 4 == 0 && (y % 100 != 0 || y % 400 == 0)) 29 else 28
+    case 4 | 6 | 9 | 11 => 30
+    case _ => 31
+  }
+
+  /** Hot-path timestamp parse, ALLOCATION-FREE for the exact 26-char layout:
+    * packs (epochSeconds, offsetSeconds) into one long as
+    * epochSec * 131072 + (offset + 64800); TsNone = unparseable. Semantics
+    * are exactly parseTimestamp's (same structural gate, same validation —
+    * day-of-month per month like LocalDate.of, |offset| <= 18h like
+    * ZoneOffset.ofTotalSeconds; anything structurally off falls back to the
+    * strict formatter). Value-equivalence is property-pinned in
+    * LineParserSpec.
+    */
+  def tsEpochOff(s: String): Long = {
+    if (s.length == 26 && s.charAt(2) == '/' && s.charAt(6) == '/' &&
+      s.charAt(11) == ':' && s.charAt(14) == ':' && s.charAt(17) == ':' &&
+      s.charAt(20) == ' ' && (s.charAt(21) == '+' || s.charAt(21) == '-')) {
+      val day = dig(s.charAt(0)) * 10 + dig(s.charAt(1))
+      val mon = monthNum(s, 3)
+      val year = dig(s.charAt(7)) * 1000 + dig(s.charAt(8)) * 100 + dig(s.charAt(9)) * 10 + dig(s.charAt(10))
+      val hh = dig(s.charAt(12)) * 10 + dig(s.charAt(13))
+      val mm = dig(s.charAt(15)) * 10 + dig(s.charAt(16))
+      val ss = dig(s.charAt(18)) * 10 + dig(s.charAt(19))
+      val offH = dig(s.charAt(22)) * 10 + dig(s.charAt(23))
+      val offM = dig(s.charAt(24)) * 10 + dig(s.charAt(25))
+      if (mon > 0 && day >= 1 && year >= 0 && hh >= 0 && hh <= 23 &&
+        mm >= 0 && mm <= 59 && ss >= 0 && ss <= 59 && offH >= 0 && offM >= 0 && offM <= 59) {
+        // the try/catch of the OffsetDateTime fast path, made explicit:
+        // LocalDate.of validates day-of-month; ZoneOffset.ofTotalSeconds
+        // rejects |offset| > 18h — both returned None there, None here
+        if (day > daysInMonth(year, mon)) return TsNone
+        val off = offH * 3600 + offM * 60
+        if (off > 64800) return TsNone
+        val signedOff = if (s.charAt(21) == '-') -off else off
+        val epochSec =
+          epochDay(year, mon, day) * 86400L + hh * 3600L + mm * 60L + ss - signedOff
+        return epochSec * 131072L + (signedOff + 64800L)
+      }
+    }
+    // structurally off the fast layout: the strict formatter decides, exactly
+    // like parseTimestamp's tail
+    try {
+      val o = OffsetDateTime.parse(s, tsFormat)
+      o.toEpochSecond * 131072L + (o.getOffset.getTotalSeconds + 64800L)
+    } catch { case _: Exception => TsNone }
   }
 
   private def atoi(s: String): Long =
@@ -139,20 +230,46 @@ object LineParser {
     */
   private val refererCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  private def refererHostCached(referer: String): String = {
+    // memoized: referer cardinality is small relative to rows; pure function
+    val hit = refererCache.get(referer)
+    if (hit != null) hit
+    else {
+      val host = GoUrl.refererHostname(referer)
+      val norm = if (host.startsWith("www.")) host.substring(4) else host
+      if (refererCache.size < 100000) refererCache.put(referer, norm)
+      norm
+    }
+  }
+
   private[parse] def normalizeReferer(referer: String, requestUri: String): String = {
     val m = reUtmSource.matcher(requestUri)
     if (m.find()) m.group(2)
-    else if (referer.nonEmpty) {
-      // memoized: referer cardinality is small relative to rows; pure function
-      val hit = refererCache.get(referer)
-      if (hit != null) hit
-      else {
-        val host = GoUrl.refererHostname(referer)
-        val norm = if (host.startsWith("www.")) host.substring(4) else host
-        if (refererCache.size < 100000) refererCache.put(referer, norm)
-        norm
-      }
-    } else ""
+    else if (referer.nonEmpty) refererHostCached(referer)
+    else ""
+  }
+
+  /** All URI-derived fields (path split, malicious class, utm_source
+    * override), memoized per URI string — the same bounded-pure-function memo
+    * as the referer/UA caches: path cardinality is far below row count in
+    * real logs (the reference re-derives per line single-threaded), and
+    * every field here is a pure function of the URI. utm is null when the
+    * URI carries no utm_source parameter (reUtmSource semantics).
+    */
+  private[parse] final case class UriFields(
+      path: String, p1: String, p2: String, p3: String, mal: Int, utm: String)
+
+  private val uriCache = new java.util.concurrent.ConcurrentHashMap[String, UriFields]()
+
+  private[parse] def uriFields(uri: String): UriFields = {
+    val hit = uriCache.get(uri)
+    if (hit != null) return hit
+    val (path, p1, p2, p3, mal) = pathFields(uri)
+    val m = reUtmSource.matcher(uri)
+    val utm = if (m.find()) m.group(2) else null
+    val uf = UriFields(path, p1, p2, p3, mal, utm)
+    if (uriCache.size < 100000) uriCache.put(uri, uf)
+    uf
   }
 
   private def build(
@@ -160,20 +277,28 @@ object LineParser {
       domain: String, clientIp: String, logname: String, user: String,
       tsStr: String, method: String, uri: String, protocol: String,
       status: String, bytes: String, refererRaw: Option[String], uaRaw: Option[String]): ParsedFields = {
-    val odt = parseTimestamp(tsStr)
-    val (path, p1, p2, p3, mal) = pathFields(uri)
-    val referer = refererRaw.map(r => normalizeReferer(r, uri)).getOrElse("")
+    // packed-epoch fast path: same values as parseTimestamp (Timestamp.from
+    // of a whole-second instant = new Timestamp(sec * 1000), nanos 0) without
+    // the OffsetDateTime/Instant/ZoneOffset intermediates per line
+    val ts = tsEpochOff(tsStr)
+    val uf = uriFields(uri)
+    val referer = refererRaw.map { r =>
+      if (uf.utm != null) uf.utm
+      else if (r.nonEmpty) refererHostCached(r)
+      else ""
+    }.getOrElse("")
     val ua = uaRaw.map { u =>
       val base = UserAgents.classify(u)
-      if (p1 == "/robots.txt") UserAgents.robotsOverride(base) else base
+      if (uf.p1 == "/robots.txt") UserAgents.robotsOverride(base) else base
     }
     ParsedFields(
       domain = domain, client_ip = clientIp, remote_logname = logname, remote_user = user,
-      log_ts = odt.map(o => java.sql.Timestamp.from(o.toInstant)),
-      tz_offset_sec = odt.map(_.getOffset.getTotalSeconds).getOrElse(0),
-      method = method, path = path, path1 = p1, path2 = p2, path3 = p3,
+      log_ts = if (ts == TsNone) None
+        else Some(new java.sql.Timestamp(Math.floorDiv(ts, 131072L) * 1000L)),
+      tz_offset_sec = if (ts == TsNone) 0 else (Math.floorMod(ts, 131072L) - 64800L).toInt,
+      method = method, path = uf.path, path1 = uf.p1, path2 = uf.p2, path3 = uf.p3,
       protocol = protocol, status = status, bytes_sent = atoi(bytes),
-      referer = referer, ua = ua, malicious = mal, format = fmt.name)
+      referer = referer, ua = ua, malicious = uf.mal, format = fmt.name)
   }
 
   def parse(line: String, fmt: Format): Option[ParsedFields] = {
@@ -223,20 +348,29 @@ object LineParser {
     * detection line itself is not emitted (main.go:744 shadowing) — that
     * quirk lives only in the oracle's quirk mode (RefOracle.stickyQuirk).
     *
-    * Fast path (VERDICT r3 item 6): instead of blindly running up to 5
-    * regexes per line, three O(1) structural checks prune the try list
-    * EXACTLY — a pruned regex provably could not have matched, so the result
-    * is identical to the plain reversed-order scan (property-tested):
+    * Two tiers (r6): `fastParse` is a single structural scan that handles
+    * the clean log-line shape with NO regex at all; anything it cannot
+    * decide falls to `parseAutoRegex` — the r3-r5 pruned regex chain,
+    * byte-identical semantics, kept as the completeness tier and the
+    * property-test oracle for the scan.
+    */
+  def parseAuto(line: String): Option[ParsedFields] = {
+    if (line.isEmpty) return None
+    val f = fastParse(line)
+    if (f != null) Some(f) else parseAutoRegex(line)
+  }
+
+  /** The pre-r6 regex-chain parse (structural pruning per VERDICT r3 item 6):
+    * reversed reference order minus provably-impossible candidates —
     *  - nginx formats demand a literal "-" second field (`^(\S+) - `)
     *  - combined/vhost/nginx-combined anchor on a trailing `"`
     *  - common anchors on trailing bytes digits (`(\d+)$`)
-    * Apache-heavy lines drop from 3-5 regex attempts to 1-2. A last-success
-    * MEMO (the reference's per-file shape, main.go:728-751) was considered
-    * and rejected: apache_combined lines with logname "-" also match the
-    * nginx grammar, so a memo would reclassify them relative to the
-    * per-line last-match-wins rule this engine (and its oracle) pins.
+    * A last-success MEMO (the reference's per-file shape, main.go:728-751)
+    * was considered and rejected: apache_combined lines with logname "-"
+    * also match the nginx grammar, so a memo would reclassify them relative
+    * to the per-line last-match-wins rule this engine (and its oracle) pins.
     */
-  def parseAuto(line: String): Option[ParsedFields] = {
+  private[parse] def parseAutoRegex(line: String): Option[ParsedFields] = {
     if (line.isEmpty) return None
     val lastCh = line.charAt(line.length - 1)
     val endsQuote = lastCh == '"'
@@ -264,5 +398,178 @@ object LineParser {
       if (r.isDefined) return r
     }
     None
+  }
+
+  /** Single-scan structural parse of the CLEAN log-line shape — the shape
+    * every real access-log line has:
+    *
+    *   t1 t2 t3 [t4] [TS] "METHOD URI PROTO" STATUS BYTES ["REF" "UA" [q1 q2]]
+    *
+    * where the leading tokens contain no '[' ']' '"', the bracket holds no
+    * '[' '"', the request tokens hold no '"', STATUS/BYTES are all-digits,
+    * and the line holds exactly 2 or 6 quote characters in total.
+    *
+    * Under those constraints every boundary the five anchored regexes could
+    * choose is FORCED: `(\S+)` groups cannot span the literal separator
+    * spaces, the pattern's literal quotes must consume the line's quotes in
+    * order (the captures are quote-free, and `[^"]*` cannot hold one), and
+    * the single token-initial '[' is the only place ` \[` can anchor — so
+    * the scan's captures are exactly the regex captures, and the
+    * (token-count, dash-second-field, tail-shape) triple picks the same
+    * format the last-match-wins chain picks. Any line off the clean shape
+    * returns null and falls back to parseAutoRegex — the fast tier never
+    * *rejects* a line, it only accepts ones whose regex parse is forced.
+    * Equivalence with parseAutoRegex is property-pinned in LineParserSpec
+    * (pool lines + adversarial fuzz).
+    *
+    * Why: java.util.regex `matches()` with 9-12 capture groups dominated
+    * per-line cost (measured in ParseProfile); the scan replaces it with one
+    * branchy pass and eight substrings.
+    *
+    * @return the ParsedFields on a decided clean-shape match, null = bail
+    */
+  private[parse] def fastParse(line: String): ParsedFields = {
+    val len = line.length
+    // pass 1: any regex-\s whitespace other than ' ' bails (those chars are
+    // separators for \s yet non-tokens for \S — let the regexes decide);
+    // count quotes for the forced-alignment argument
+    var quotes = 0
+    var i = 0
+    while (i < len) {
+      val c = line.charAt(i)
+      if (c == '\t' || c == '\n' || c == 0x0B || c == '\f' || c == '\r') return null
+      if (c == '"') quotes += 1
+      i += 1
+    }
+    if (quotes != 2 && quotes != 6) return null
+
+    // leading tokens (3 or 4), single-space separated, none containing
+    // '[' ']' '"'; then a token-initial '[' opens the timestamp bracket
+    val tokS = new Array[Int](4)
+    val tokE = new Array[Int](4)
+    var k = 0
+    var pos = 0
+    var bracketOpen = -1
+    while (bracketOpen < 0) {
+      if (pos >= len) return null
+      if (line.charAt(pos) == '[') {
+        if (k < 3) return null // '[' this early fits no format cleanly
+        bracketOpen = pos
+      } else {
+        if (k == 4) return null // 5+ leading tokens fit no format
+        val start = pos
+        var bad = false
+        while (pos < len && line.charAt(pos) != ' ') {
+          val c = line.charAt(pos)
+          if (c == '[' || c == ']' || c == '"') bad = true
+          pos += 1
+        }
+        if (bad || pos == start || pos >= len) return null
+        tokS(k) = start; tokE(k) = pos
+        k += 1
+        pos += 1 // the single separator space
+      }
+    }
+
+    // bracket: content up to the next ']', non-empty, no '[' or '"' inside;
+    // then exactly ` "` after the close
+    var p = bracketOpen + 1
+    var close = -1
+    while (close < 0) {
+      if (p >= len) return null
+      val c = line.charAt(p)
+      if (c == ']') close = p
+      else if (c == '"' || c == '[') return null
+      else p += 1
+    }
+    if (close == bracketOpen + 1) return null
+    if (close + 2 >= len || line.charAt(close + 1) != ' ' || line.charAt(close + 2) != '"') return null
+
+    // request: exactly three nonempty space-separated tokens inside quotes
+    val r0 = close + 2
+    var q = r0 + 1
+    var sp = 0
+    var s1 = -1
+    var s2 = -1
+    var rClose = -1
+    while (rClose < 0) {
+      if (q >= len) return null
+      val c = line.charAt(q)
+      if (c == '"') rClose = q
+      else {
+        if (c == ' ') {
+          sp += 1
+          if (sp == 1) s1 = q else if (sp == 2) s2 = q else return null
+        }
+        q += 1
+      }
+    }
+    if (sp != 2 || s1 == r0 + 1 || s2 == s1 + 1 || rClose == s2 + 1) return null
+
+    // status + bytes: ' ' digits ' ' digits
+    var d = rClose + 1
+    if (d >= len || line.charAt(d) != ' ') return null
+    d += 1
+    val st0 = d
+    while (d < len && line.charAt(d) >= '0' && line.charAt(d) <= '9') d += 1
+    if (d == st0) return null
+    val st1 = d
+    if (d == len) return null // no bytes field fits no format
+    if (line.charAt(d) != ' ') return null
+    d += 1
+    val by0 = d
+    while (d < len && line.charAt(d) >= '0' && line.charAt(d) <= '9') d += 1
+    if (d == by0) return null
+    val by1 = d
+
+    val dash2 = tokE(1) - tokS(1) == 1 && line.charAt(tokS(1)) == '-'
+    def tok(n: Int) = line.substring(tokS(n), tokE(n))
+    def buildClean(fmt: Format, domain: String, ip: String, logname: String, user: String,
+        ref: String, ua: String): ParsedFields =
+      build(fmt, domain, ip, logname, user,
+        line.substring(bracketOpen + 1, close),
+        line.substring(r0 + 1, s1), line.substring(s1 + 1, s2), line.substring(s2 + 1, rClose),
+        line.substring(st0, st1), line.substring(by0, by1),
+        Option(ref), Option(ua))
+
+    if (by1 == len) {
+      // ends at bytes: only apache_common's `(\d+)$` anchors here
+      if (quotes != 2 || k != 3) return null
+      return buildClean(ApacheCommon, "", tok(0), tok(1), tok(2), null, null)
+    }
+
+    // referer + ua: ` "..." "..."` (quote positions forced by total count 6)
+    if (quotes != 6) return null
+    if (line.charAt(by1) != ' ' || by1 + 1 >= len || line.charAt(by1 + 1) != '"') return null
+    val f0 = by1 + 1
+    val f1 = line.indexOf('"', f0 + 1)
+    if (f1 < 0 || f1 + 2 >= len || line.charAt(f1 + 1) != ' ' || line.charAt(f1 + 2) != '"') return null
+    val u0 = f1 + 2
+    val u1 = line.indexOf('"', u0 + 1)
+    if (u1 < 0) return null
+    val ref = line.substring(f0 + 1, f1)
+    val ua = line.substring(u0 + 1, u1)
+
+    if (u1 + 1 == len) {
+      // ends at the final quote: nginx_combined (dash) beats combined by the
+      // last-match-wins order; vhost is the unique 4-token shape
+      if (k == 3 && dash2) return buildClean(NginxCombined, "", tok(0), "", tok(2), ref, ua)
+      if (k == 3) return buildClean(ApacheCombined, "", tok(0), tok(1), tok(2), ref, ua)
+      return buildClean(ApacheVHostCombined, tok(0), tok(1), tok(2), tok(3), ref, ua)
+    }
+
+    // trailing ` q1 q2`: nginx_custom only (timings captured then discarded)
+    if (!(k == 3 && dash2)) return null
+    var t = u1 + 1
+    if (line.charAt(t) != ' ') return null
+    t += 1
+    val x0 = t
+    while (t < len && line.charAt(t) != ' ') t += 1
+    if (t == x0 || t >= len) return null
+    t += 1
+    val y0 = t
+    while (t < len && line.charAt(t) != ' ') t += 1
+    if (t == y0 || t < len) return null
+    buildClean(NginxCustom, "", tok(0), "", tok(2), ref, ua)
   }
 }

@@ -161,4 +161,49 @@ class LineParserSpec extends AnyFunSuite {
     val p = parseAuto(line).get
     assert(p.ua.get.ua_family == "OtherBot" && p.ua.get.ua_human == "NonHuman")
   }
+
+  // ------------------------------------------------------------ r6 fast tier
+  test("tsEpochOff agrees with parseTimestamp on every 4-digit-year date sweep") {
+    // all (year-class, month, day 27-32) boundaries: leap rules + month
+    // lengths + both packers on valid AND invalid day-of-month
+    for (y <- Seq(1, 1900, 1996, 2000, 2023, 2024, 2100, 9999);
+         m <- 1 to 12; d <- 27 to 32) {
+      val mon = Seq("Jan", "Feb", "Mar", "Apr", "May", "Jun", "Jul", "Aug",
+        "Sep", "Oct", "Nov", "Dec")(m - 1)
+      val s = f"$d%02d/$mon/$y%04d:23:59:59 +0530"
+      val packed = LineParser.tsEpochOff(s)
+      val viaOdt = LineParser.parseTimestamp(s)
+      val unpacked =
+        if (packed == LineParser.TsNone) None
+        else Some((Math.floorDiv(packed, 131072L), (Math.floorMod(packed, 131072L) - 64800L).toInt))
+      assert(unpacked == viaOdt.map(o => (o.toEpochSecond, o.getOffset.getTotalSeconds)), s)
+    }
+    // the ZoneOffset 18h bound, both sides
+    assert(LineParser.tsEpochOff("10/Oct/2000:13:55:36 +1800") != LineParser.TsNone)
+    assert(LineParser.tsEpochOff("10/Oct/2000:13:55:36 +1801") == LineParser.TsNone)
+    assert(LineParser.parseTimestamp("10/Oct/2000:13:55:36 +1801").isEmpty)
+  }
+
+  test("fastParse handles the reference fixture lines identically to the regex tier") {
+    val lines = Seq(
+      """127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /p1/p2/p3/apache_pb.gif HTTP/1.0" 200 2326""",
+      """127.0.0.1 - - [10/Oct/2000:13:55:36 -0700] "GET / HTTP/1.1" 200 612 "-" "Mozilla/5.0 (Macintosh)"""",
+      """example.com:80 127.0.0.1 - frank [10/Oct/2000:13:55:36 -0700] "GET /apache_pb.gif HTTP/1.0" 200 2326 "http://www.example.com/start.html" "Mozilla/4.08 [en] (Win98; I ;Nav)"""",
+      """1.2.3.4 - u [02/Jan/2006:15:04:05 +0000] "GET / HTTP/1.1" 200 1 "r" "ua" 0.1 0.2""",
+      """149.102.254.35 - - [23/May/2025:03:53:41 +0000] "GET /wp-content/plugins/helloapx/wp-apxupx.php?apx=upx&utm_source=google&otherparam=1 HTTP/1.1" 301 549 "http://casualgames.dev/wp-content/plugins/helloapx/wp-apxupx.php?apx=upx" "Go-http-client/1.1"""")
+    lines.foreach { l =>
+      val fast = Option(LineParser.fastParse(l))
+      assert(fast.isDefined, s"fast tier must decide: $l")
+      assert(fast == LineParser.parseAutoRegex(l), l)
+    }
+    // unclean shapes bail (null) and the dispatch still answers via regex
+    val unclean = Seq(
+      "1.2.3.4 -\tu [t] \"G / H\" 1 2", // tab
+      """1.2.3.4 - u [t "x"] "G / H" 1 2""", // quote in bracket
+      """1.2.3.4 - u [02/Jan/2006:15:04:05 +0000] "GET / HTTP/1.1" 200 1 "r" "u"a"""") // 7 quotes
+    unclean.foreach { l =>
+      assert(LineParser.fastParse(l) == null, s"must bail: $l")
+      assert(LineParser.parseAuto(l) == LineParser.parseAutoRegex(l), l)
+    }
+  }
 }

@@ -62,6 +62,82 @@ object ParseProps extends Properties("graft.parse") {
     }
   }
 
+  // ---------------------------------------------------------------- r6 fast tier
+  property("fastParse decides every generated line, identically to the regex tier") =
+    forAll(genIndex) { i =>
+      val line = TranscriptGen.turn(i, lay).text
+      val fast = Option(LineParser.fastParse(line))
+      val slow = LineParser.parseAutoRegex(line)
+      (Prop(fast.isDefined) :| "clean generator line must not bail") &&
+        (Prop(fast == slow) :| s"fast=$fast slow=$slow line=$line")
+    }
+
+  /** adversarial line soup: fragments with quotes, brackets, dashes, digits,
+    * doubled/odd spacing, tabs — everything the clean-shape scanner keys on
+    */
+  private val genSoupLine: Gen[String] = {
+    val frag = Gen.oneOf(
+      "1.2.3.4", "-", "u", "frank", "[02/Jan/2006:15:04:05 +0000]",
+      "[ts with space]", "[]", "[x", "x]", "\"GET / HTTP/1.1\"", "\"GET /\"",
+      "\"GET  / HTTP/1.1\"", "\"G\"ET\"", "200", "12", "0", "a1b", "\"r\"",
+      "\"\"", "\"r with [brackets] inside\"", "\"ua (x; y)\"", "0.15",
+      "\"", "[", "]", "q\"q", "d.com", "\t", "GET", "200x", "x200")
+    for {
+      k <- Gen.chooseNum(0, 14)
+      parts <- Gen.listOfN(k, frag)
+      sep <- Gen.oneOf(" ", " ", " ", "  ", "")
+    } yield parts.mkString(sep)
+  }
+
+  property("fast tier dispatch == pure regex chain on adversarial line soup") =
+    forAll(Gen.frequency(2 -> genSoupLine,
+      1 -> genIndex.map(i => TranscriptGen.turn(i, lay).text))) { line =>
+      val now = LineParser.parseAuto(line)
+      val regex = LineParser.parseAutoRegex(line)
+      Prop(now == regex) :| s"line=<$line> fast-dispatch=$now regex=$regex"
+    }
+
+  property("tsEpochOff == parseTimestamp (packed epoch + offset) on structured + fuzzed inputs") = {
+    val genTs: Gen[String] = for {
+      day <- Gen.chooseNum(0, 39)
+      mon <- Gen.oneOf("Jan", "Feb", "MAR", "apr", "May", "Jun", "Jul",
+        "Aug", "Sep", "Oct", "Nov", "Dec", "Xyz", "J0n")
+      year <- Gen.oneOf(0, 1, 1900, 1999, 2000, 2024, 2025, 2100, 9999)
+      hh <- Gen.chooseNum(0, 30)
+      mm <- Gen.chooseNum(0, 70)
+      ss <- Gen.chooseNum(0, 70)
+      sign <- Gen.oneOf("+", "-")
+      offH <- Gen.chooseNum(0, 99)
+      offM <- Gen.chooseNum(0, 99)
+    } yield f"$day%02d/$mon/$year%04d:$hh%02d:$mm%02d:$ss%02d $sign$offH%02d$offM%02d"
+    val genJunk = Gen.oneOf("", "02/Jan/2006", "garbage", "02/Jan/2006:15:04:05 0000",
+      "2/Jan/2006:15:04:05 +0000", "02/Jan/2006:15:04:05  +0000")
+    forAll(Gen.frequency(5 -> genTs, 1 -> genJunk)) { s =>
+      val packed = LineParser.tsEpochOff(s)
+      val viaOdt = LineParser.parseTimestamp(s)
+      val unpacked =
+        if (packed == LineParser.TsNone) None
+        else Some((Math.floorDiv(packed, 131072L), (Math.floorMod(packed, 131072L) - 64800L).toInt))
+      val expected = viaOdt.map(o => (o.toEpochSecond, o.getOffset.getTotalSeconds))
+      Prop(unpacked == expected) :| s"ts=<$s> packed=$unpacked odt=$expected"
+    }
+  }
+
+  property("uriFields memo == pathFields + utm regex for pool and fuzzed URIs") = {
+    val genUri = Gen.frequency(
+      3 -> Gen.oneOf(TranscriptGen.benignPaths ++ TranscriptGen.queryPaths ++
+        TranscriptGen.maliciousPaths),
+      1 -> Gen.listOf(Gen.oneOf("/a", "/", "?", "&", "utm_source=x", "%zz", "%00",
+        "..", "'", "<script>", "a", ":", "//h:80")).map(_.mkString))
+    forAll(genUri) { uri =>
+      val uf = LineParser.uriFields(uri)
+      val (path, p1, p2, p3, mal) = LineParser.pathFields(uri)
+      val m = java.util.regex.Pattern.compile("(\\?|&)utm_source=([^&]+)(&|\\z)").matcher(uri)
+      val utm = if (m.find()) m.group(2) else null
+      uf == LineParser.UriFields(path, p1, p2, p3, mal, utm)
+    }
+  }
+
   property("keyed counts sum to the total for every dimension") =
     forAll(Gen.chooseNum(50, 400)) { n =>
       val parsed = RefOracle.parseAll(Tables.localTurns(n.toLong)).map(_._2)
