@@ -32,5 +32,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
-// optional GC experiment knob (e.g. SPARK_GRAFT_GC=UseParallelGC)
-javaOptions ++= sys.env.get("SPARK_GRAFT_GC").map(g => Seq(s"-XX:+$g")).getOrElse(Seq.empty)
+// GC default: ParallelGC (r6, VERDICT r5 #1 A/B on identical code, same
+// host, back-to-back: total 12.67 s vs G1 16.39 s over the 31-query suite,
+// and G1's concurrent-cycle bursts polluted even min-of-3 samples — a6 min
+// 4.9 s under G1 vs 1.36 s under ParallelGC; r5's 13-attempt ledger showed
+// the same. A batch engine wants the throughput collector at any scale —
+// nothing here is local[32]-specific. Override via SPARK_GRAFT_GC
+// (e.g. SPARK_GRAFT_GC=UseG1GC).
+javaOptions ++= Seq(s"-XX:+${sys.env.getOrElse("SPARK_GRAFT_GC", "UseParallelGC")}")

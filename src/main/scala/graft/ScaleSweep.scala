@@ -188,7 +188,9 @@ object ScaleSweep {
       val (tMinhash, nPairs) = timeMin(3)(Dedup.minhashNearDups(d, 0.5).count())
       val found = Dedup.minhashNearDups(d, 0.5).select("a_id", "b_id")
         .join(plantedTrue, Seq("a_id", "b_id"), "left_semi").count()
-      val recall = found.toDouble / nTrue
+      // ADVICE r5: zero planted pairs (a capped tier) must not emit NaN into
+      // the JSON artifact — recall is vacuously 1.0 when nothing is planted
+      val recall = if (nTrue == 0) 1.0 else found.toDouble / nTrue
 
       val corpusBands = bands.filter(col("doc_id") % 2 === 0)
       val corpusShingles = shingles.filter(col("doc_id") % 2 === 0)

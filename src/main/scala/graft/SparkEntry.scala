@@ -51,8 +51,17 @@ object SparkEntry {
       val c = t(s, d)("customer").filter(col("c_mktsegment") === "BUILDING")
       val o = t(s, d)("orders")
       val l = t(s, d)("lineitem")
-      l.join(o, l("l_orderkey") === o("o_orderkey"))
-        .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      // r6 (opt guide §3.1/§3.2): apply the selective customer filter to
+      // orders FIRST (broadcast c into o) and broadcast only the surviving
+      // ~1/5 orderkeys, so the fact table probes one small single-column
+      // build side and non-BUILDING rows drop at the first join instead of
+      // the second. Same inner-equi-join algebra, same oracle; the pre-r6
+      // shape probed the full orders broadcast per lineitem row. Beyond
+      // broadcast capacity the identical shape degrades to the runtime
+      // bloom-filter semi-join (guide §3.2).
+      val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .select(o("o_orderkey"))
+      l.join(broadcast(oc), l("l_orderkey") === oc("o_orderkey"))
         .groupBy(col("l_orderkey"))
         // revenue in 1e-4 units (BIGINT): ep*(1-disc) is the same IEEE double
         // in both engines, *1e4 is within float error of the exact 4-decimal

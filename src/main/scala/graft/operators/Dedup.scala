@@ -273,8 +273,21 @@ object Dedup {
       .agg(min(col("dst")).as("m"))
       .select(col("src").as("id"), least(col("src"), col("m")).as("lbl"))
       .localCheckpoint()
-    var changed = 1L
-    while (changed > 0) {
+    // Convergence check (r6, opt guide §1.2): labels are MONOTONE
+    // NON-INCREASING (next = min over a superset containing the current
+    // label) and the id set is the fixed vertex set every round, so "any
+    // label changed" ⟺ "sum of labels decreased". One cheap aggregate over
+    // the just-checkpointed round replaces the join+filter+count job the
+    // pre-r6 loop ran per round (one extra shuffle join per iteration).
+    // decimal(38,0) keeps the sum exact at any id scale (a long sum could
+    // wrap at 10⁹ × 10¹² ids and alias a real change).
+    def lblSum(df: DataFrame): java.math.BigDecimal = df
+      .agg(coalesce(sum(col("lbl").cast("decimal(38,0)")),
+        lit(0).cast("decimal(38,0)")).as("s"))
+      .head().getDecimal(0)
+    var curSum = lblSum(labels)
+    var changed = true
+    while (changed) {
       val viaEdges = edges.join(labels.withColumnRenamed("id", "src"), "src")
         .select(col("dst").as("id"), col("lbl"))
       val viaPtr = labels.alias("x")
@@ -283,10 +296,9 @@ object Dedup {
       val next = labels.union(viaEdges).union(viaPtr)
         .groupBy(col("id")).agg(min(col("lbl")).as("lbl"))
         .localCheckpoint()
-      changed = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .filter(col("n.lbl") =!= col("o.lbl"))
-        .count()
+      val nextSum = lblSum(next)
+      changed = nextSum.compareTo(curSum) != 0
+      curSum = nextSum
       labels = next
     }
     labels.select(col("id").as("doc_id"), col("lbl").as("keep_id"))

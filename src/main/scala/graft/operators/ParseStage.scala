@@ -82,8 +82,16 @@ object ParseStage {
     val minuteFloored =
       if (windowMinutes == 60) lit(0L)
       else (minute(local) - (minute(local) % windowMinutes)).cast("long")
+    // r6 (opt guide §1.2 per-task work): integer date-part arithmetic in
+    // place of date_format("yyyyMMddHH") — the formatter built a per-row
+    // string only to cast it back to long. year/month/day/hour are
+    // codegen'd intrinsics over the same local timestamp, so the int64
+    // yyyyMMddHHmm value is identical for every 4-digit-year date (pinned
+    // vs the Scala oracle in ParseProps/AppSpec and by the DuckDB rows).
+    val ymdh = ((year(local).cast("long") * 100L + month(local)) * 100L +
+      dayofmonth(local)) * 100L + hour(local)
     coalesce(
-      date_format(local, "yyyyMMddHH").cast("long") * 100L + minuteFloored,
+      ymdh * 100L + minuteFloored,
       lit(101010000L)) // Go zero time "0001010100"+"00" (error ignored at httpservers.go:175)
   }
 }

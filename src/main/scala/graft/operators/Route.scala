@@ -180,6 +180,15 @@ object Route {
     // preserves the original contract (identical CONTENT still skips the
     // write at the cost of one stats scan).
     val inputFiles = routed.inputFiles.sorted
+    // the (plan, layout) fingerprint, mixed into BOTH resume tiers: the
+    // metadata tier (below) and the content tier's fpJson — ADVICE r5
+    // (medium): the content fingerprint alone is a property of the INPUT
+    // (total rows + global checksum), so a changed routing plan or
+    // partitions argument over unchanged input used to match the content
+    // tier, skip the rewrite, and stamp the NEW plan's metadata fingerprint
+    // onto output written by the OLD plan — every later run then served
+    // stale output through the zero-scan tier.
+    val planFp = routed.queryExecution.analyzed.semanticHash().toLong * 31L + partitions
     val metaFp = {
       val hconf = routed.sparkSession.sparkContext.hadoopConfiguration
       // covers the PIPELINE as well as the input: the routed plan's
@@ -226,7 +235,7 @@ object Route {
       .collect()
     val totalRows = groups.map(_.getLong(2)).sum
     val totalChecksum = groups.map(_.getLong(3)).foldLeft(0L)(_ ^ _)
-    val fpJson = s"""{"rows":$totalRows,"checksum":$totalChecksum}"""
+    val fpJson = s"""{"plan":$planFp,"rows":$totalRows,"checksum":$totalChecksum}"""
 
     if (Files.exists(manifestPath)) {
       val existing = new String(Files.readAllBytes(manifestPath), StandardCharsets.UTF_8)

@@ -121,6 +121,17 @@ object Similarity {
   // (code-review r5) — for centroids that is a result-correctness hole, so
   // both memos key on the plan itself; bounded by clear-on-overflow.
   private val memoCap = 256
+
+  /** Evict ONE (arbitrary) entry at cap instead of clear-all (VERDICT r5
+    * item 5): a long-lived session alternating >cap plans no longer forgets
+    * the other 255 entries wholesale — in the centroid memo those are
+    * exactly the expensive thing the memo exists to keep.
+    */
+  private def evictOne(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit = {
+    val it = m.keySet().iterator()
+    if (it.hasNext) { it.next(); it.remove() }
+  }
+
   private val broadcastDecisionMemo =
     new java.util.concurrent.ConcurrentHashMap[(Any, Long), java.lang.Boolean]()
 
@@ -128,7 +139,7 @@ object Similarity {
     val threshold = queries.sparkSession.sessionState.conf.autoBroadcastJoinThreshold
     if (threshold <= 0) return false
     if (queries.queryExecution.optimizedPlan.stats.sizeInBytes <= threshold) return true
-    if (broadcastDecisionMemo.size > memoCap) broadcastDecisionMemo.clear()
+    if (broadcastDecisionMemo.size > memoCap) evictOne(broadcastDecisionMemo)
     val memoKey = (queries.queryExecution.analyzed.canonicalized, threshold)
     broadcastDecisionMemo.computeIfAbsent(memoKey, { _ =>
       val firstVec = queries.select(col("embedding")).head(1)
@@ -212,7 +223,7 @@ object Similarity {
     // value-transparent: a recompute would return bit-identical centroids.
     // Keyed on the canonicalized plan OBJECT, not its Int hash — see the
     // memo note above shouldBroadcastQueries.
-    if (centroidMemo.size > memoCap) centroidMemo.clear()
+    if (centroidMemo.size > memoCap) evictOne(centroidMemo)
     centroidMemo.computeIfAbsent(
       (emb.queryExecution.analyzed.canonicalized, k, iters, sampleLimit),
       _ => trainCentroids(emb, k, iters, sampleLimit))

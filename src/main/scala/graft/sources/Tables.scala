@@ -112,11 +112,17 @@ object Tables {
       .map(_.getLen)
     if (sizes.isEmpty) return 0
     val totalBytes = sizes.map(_ + openCost).sum
+    // ADVICE r5: FilePartition derives bytesPerCore from
+    // spark.sql.files.minPartitionNum when set, defaultParallelism otherwise
+    // — mirror that instead of hard-coding defaultParallelism so the
+    // estimate tracks the real split count under a configured floor
+    val minPartitionNum = conf.filesMinPartitionNum
+      .getOrElse(spark.sparkContext.defaultParallelism)
     // max(1, …) also guards openCostInBytes=0 on a tiny table, where the
     // formula would otherwise yield maxSplit=0 and the split-range step
     // below would throw (code-review r5)
     val maxSplit = math.max(1L, math.min(conf.filesMaxPartitionBytes,
-      math.max(openCost, totalBytes / math.max(1, spark.sparkContext.defaultParallelism))))
+      math.max(openCost, totalBytes / math.max(1, minPartitionNum))))
     // mirror FilePartition.getFilePartitions exactly: parquet splits at
     // maxSplit boundaries, sorted size-desc, and a partition closes when
     // currentSize + splitLen (WITHOUT open cost) would exceed maxSplit;

@@ -240,7 +240,17 @@ class PipelineSpec extends AnyFunSuite with SparkTestBase {
       executed.set(0)
       Route.fanOutWithLineage(Route.withSink(fileParsed), dir, partitions = 4)
       Thread.sleep(500)
-      assert(executed.get > 0, "changed partitions must re-run, not serve stale output")
+      // ADVICE r5 (medium): must take BOTH the stats pass AND the write —
+      // the content tier matching on input rows/checksum alone used to skip
+      // the rewrite and stamp the new plan's metadata fingerprint onto the
+      // old plan's output (permanently stale via the zero-scan tier)
+      assert(executed.get >= 2,
+        s"changed partitions must re-run stats AND rewrite, got ${executed.get}")
+      // ...and the refreshed manifest now serves the zero-scan tier again
+      executed.set(0)
+      Route.fanOutWithLineage(Route.withSink(fileParsed), dir, partitions = 4)
+      Thread.sleep(500)
+      assert(executed.get == 0, s"post-rewrite rerun must be zero-scan, got ${executed.get}")
     } finally spark.listenerManager.unregister(listener)
   }
 }
