@@ -79,14 +79,34 @@ object Dedup {
     h
   }
 
-  def tokenize(text: String): Array[String] =
-    text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+  // r6: hoisted — String.split(String) with a multi-char regex compiles the
+  // Pattern PER CALL (per document, across every minhash/simhash/shingle
+  // path); Pattern.split is spec-identical to String.split with limit 0
+  private val tokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")
 
-  /** word 3-gram shingle hashes */
+  def tokenize(text: String): Array[String] =
+    tokenSplit.split(text.toLowerCase).filter(_.nonEmpty)
+
+  /** word 3-gram shingle hashes. r6: the FNV of each n-gram is chained over
+    * the tokens' chars with a ' ' between them — the exact char stream of
+    * `fnv1a(toks.slice(i, i+n).mkString(" "))` without allocating the joined
+    * string per shingle (ScalaCheck-pinned value equality in ParseProps).
+    */
   def shingleHashes(text: String, n: Int = 3): Array[Long] = {
     val toks = tokenize(text)
     if (toks.length < n) Array(fnv1a(toks.mkString(" ")))
-    else Array.tabulate(toks.length - n + 1)(i => fnv1a(toks.slice(i, i + n).mkString(" ")))
+    else Array.tabulate(toks.length - n + 1) { i =>
+      var h = 0xcbf29ce484222325L
+      var j = i
+      while (j < i + n) {
+        if (j > i) { h ^= ' '.toLong; h *= 0x100000001b3L }
+        val t = toks(j)
+        var c = 0
+        while (c < t.length) { h ^= t.charAt(c).toLong; h *= 0x100000001b3L; c += 1 }
+        j += 1
+      }
+      h
+    }
   }
 
   /** the k affine-permutation coefficients — constants of j, derived from

@@ -127,7 +127,7 @@ object Similarity {
     * the other 255 entries wholesale — in the centroid memo those are
     * exactly the expensive thing the memo exists to keep.
     */
-  private def evictOne(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit = {
+  private[operators] def evictOne(m: java.util.concurrent.ConcurrentHashMap[_, _]): Unit = {
     val it = m.keySet().iterator()
     if (it.hasNext) { it.next(); it.remove() }
   }

@@ -578,4 +578,14 @@ class TrainingOpsSpec extends AnyFunSuite with SparkTestBase {
     assert(r.getInt(1) == 4) // ws tokens
     assert(r.getInt(2) == 6) // hello / world / "," / 42 / times / "!"
   }
+
+  test("memo overflow evicts exactly one entry, not the whole map (VERDICT r5 #5)") {
+    val m = new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()
+    (1 to 257).foreach(i => m.put(i, i))
+    Similarity.evictOne(m)
+    assert(m.size == 256, "one eviction removes one entry")
+    // the other 256 entries survive — a 257th plan no longer wipes the memo
+    assert((1 to 257).count(i => m.containsKey(i)) == 256)
+    Similarity.evictOne(new java.util.concurrent.ConcurrentHashMap[Integer, Integer]()) // empty: no-op
+  }
 }

@@ -168,6 +168,20 @@ object ParseProps extends Properties("graft.parse") {
     }
   }
 
+  property("shingleHashes == fnv1a over joined token n-grams (r6 allocation-free form)") = {
+    val textGen = Gen.listOf(Gen.oneOf("Spark", "data", "ROW", "agg,", "a", "1x9",
+      "!!", "b2", " ", "join-key", "Ω")).map(_.mkString(" "))
+    forAll(textGen) { text =>
+      val toks = graft.operators.Dedup.tokenize(text)
+      val viaStrings =
+        if (toks.length < 3) Array(graft.operators.Dedup.fnv1a(toks.mkString(" ")))
+        else Array.tabulate(toks.length - 3 + 1)(i =>
+          graft.operators.Dedup.fnv1a(toks.slice(i, i + 3).mkString(" ")))
+      graft.operators.Dedup.shingleHashes(text).toSeq == viaStrings.toSeq &&
+        toks.toSeq == text.toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty).toSeq
+    }
+  }
+
   property("jaccard is symmetric, reflexive, bounded") = {
     val textGen = Gen.nonEmptyListOf(Gen.oneOf("spark", "data", "row", "agg", "scan",
       "join", "key", "window", "batch", "merge")).map(_.mkString(" "))
