@@ -56,9 +56,15 @@ object SparkEntry {
       // ~1/5 orderkeys, so the fact table probes one small single-column
       // build side and non-BUILDING rows drop at the first join instead of
       // the second. Same inner-equi-join algebra, same oracle; the pre-r6
-      // shape probed the full orders broadcast per lineitem row. Beyond
-      // broadcast capacity the identical shape degrades to the runtime
-      // bloom-filter semi-join (guide §3.2).
+      // shape probed the full orders broadcast per lineitem row.
+      // The hint on oc is deliberate AND scale-bounded by intent
+      // (code-review r6): un-hinted, the static size estimates broadcast
+      // the LINEITEM side here (measured — the 3-column fact scan estimate
+      // undercuts the join-output estimate), which is strictly worse at any
+      // scale. The filtered-orderkey set does grow with sf; past broadcast
+      // capacity the production form of this query replaces the hint with
+      // a bloom-filter semi-join on the same oc keyset (guide §3.2) — the
+      // join ORDER, which is the substantive change here, stays.
       val oc = o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
         .select(o("o_orderkey"))
       l.join(broadcast(oc), l("l_orderkey") === oc("o_orderkey"))

@@ -84,8 +84,11 @@ object Dedup {
   // path); Pattern.split is spec-identical to String.split with limit 0
   private val tokenSplit = java.util.regex.Pattern.compile("[^a-z0-9]+")
 
+  // Locale.ROOT: Go's strings.ToLower is locale-independent; default-locale
+  // toLowerCase would tokenize differently under e.g. tr-TR (dotless i) and
+  // change every signature (code-review r6)
   def tokenize(text: String): Array[String] =
-    tokenSplit.split(text.toLowerCase).filter(_.nonEmpty)
+    tokenSplit.split(text.toLowerCase(java.util.Locale.ROOT)).filter(_.nonEmpty)
 
   /** word 3-gram shingle hashes. r6: the FNV of each n-gram is chained over
     * the tokens' chars with a ' ' between them — the exact char stream of

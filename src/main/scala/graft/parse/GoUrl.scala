@@ -64,7 +64,7 @@ object GoUrl {
         if (i == 0) return Right(("", raw)) // no scheme
       } else if (c == ':') {
         if (i == 0) return Left(()) // "missing protocol scheme"
-        return Right((raw.substring(0, i).toLowerCase, raw.substring(i + 1)))
+        return Right((raw.substring(0, i).toLowerCase(java.util.Locale.ROOT), raw.substring(i + 1)))
       } else {
         return Right(("", raw)) // first non-scheme char → no scheme
       }

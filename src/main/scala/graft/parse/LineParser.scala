@@ -79,6 +79,10 @@ object LineParser {
     val c0 = Character.toUpperCase(s.charAt(from))
     val c1 = Character.toLowerCase(s.charAt(from + 1))
     val c2 = Character.toLowerCase(s.charAt(from + 2))
+    // chars >= 0x80 would OR across byte lanes and can alias a valid month
+    // (e.g. 'H', U+0261, 'n' packs to the 'Jan' value — code-review r6);
+    // no month name has non-ASCII chars, so reject before packing
+    if (c0 >= 0x80 || c1 >= 0x80 || c2 >= 0x80) return -1
     ((c0 << 16) | (c1 << 8) | c2) match {
       case 0x4A616E => 1  // Jan
       case 0x466562 => 2  // Feb
@@ -242,9 +246,13 @@ object LineParser {
     }
   }
 
+  /** Kept as the spec-shaped entry point (and for tests); delegates to the
+    * same memoized pieces build() uses so the two cannot drift
+    * (code-review r6).
+    */
   private[parse] def normalizeReferer(referer: String, requestUri: String): String = {
-    val m = reUtmSource.matcher(requestUri)
-    if (m.find()) m.group(2)
+    val utm = uriFields(requestUri).utm
+    if (utm != null) utm
     else if (referer.nonEmpty) refererHostCached(referer)
     else ""
   }

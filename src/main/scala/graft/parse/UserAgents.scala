@@ -59,7 +59,7 @@ object UserAgents {
 
   // "compatible; ..." token handling — useragent.go:276-287
   private def processCompatiblePart(st: State, part: String): Unit = {
-    val lower = part.toLowerCase
+    val lower = part.toLowerCase(java.util.Locale.ROOT) // locale-stable, like Go strings.ToLower
     if (lower.contains("bot")) {
       st.device = DeviceScript
       st.human = HumanNo
@@ -88,7 +88,7 @@ object UserAgents {
 
   def classifyUncached(uaString: String): UaInfo = {
     val st = new State
-    val lower = uaString.toLowerCase
+    val lower = uaString.toLowerCase(java.util.Locale.ROOT) // locale-stable, like Go strings.ToLower
 
     if (found(reSearchBots, lower)) {
       st.device = DeviceScript; st.family = FamilySearchBot; st.human = HumanNo; st.intent = IntentProcessing

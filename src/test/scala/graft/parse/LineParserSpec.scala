@@ -182,6 +182,11 @@ class LineParserSpec extends AnyFunSuite {
     assert(LineParser.tsEpochOff("10/Oct/2000:13:55:36 +1800") != LineParser.TsNone)
     assert(LineParser.tsEpochOff("10/Oct/2000:13:55:36 +1801") == LineParser.TsNone)
     assert(LineParser.parseTimestamp("10/Oct/2000:13:55:36 +1801").isEmpty)
+    // non-ASCII month chars must not alias a valid month through the packed
+    // int ('H', U+0261, 'n' packs to the 'Jan' value — code-review r6)
+    val aliased = "01/Hɡn/2000:00:00:00 +0000"
+    assert(LineParser.tsEpochOff(aliased) == LineParser.TsNone)
+    assert(LineParser.parseTimestamp(aliased).isEmpty)
   }
 
   test("fastParse handles the reference fixture lines identically to the regex tier") {
